@@ -1,0 +1,161 @@
+"""Session: the user-facing runtime object.
+
+TPU-native re-expression of the csinn session API
+(ref: include/csinn/csinn_runtime.h:165-340 — csinn_alloc_session,
+csinn_session_init/setup/run/deinit, csinn_set_input/output,
+csinn_update_input, csinn_get_output; impl source/nn2/setup.c:153-560).
+
+Lifecycle matches the reference:
+
+    sess = Session(run_mode=RunMode.GRAPH)
+    with sess.build():                      # ≈ csinn_session_init + est hooks
+        x = sess.input(TensorMeta(...))
+        y = ops.conv2d(x, w, b, params)
+        sess.set_output(y)
+    sess.setup()                            # ≈ csinn_session_setup (jit compile)
+    out = sess.run(x_data)                  # ≈ csinn_update_input + session_run
+
+`setup()` replaces GREF's per-node init + ref-count memory planning
+(source/graph_ref/setup.c:688-800) with one jax.jit trace: XLA does buffer
+assignment, fusion and scheduling.  `run()` replaces the interpreted topo loop
+(setup.c:1305) with a single executable launch.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from csinn2_tpu.core.dtypes import Api, Dtype, ProfilerLevel, RunMode
+from csinn2_tpu.core.tensor import Tensor, TensorMeta
+from csinn2_tpu.graph.ir import Graph, Node
+from csinn2_tpu.utils import logging as log
+
+_session_stack: List["Session"] = []
+
+
+def current_session() -> Optional["Session"]:
+    return _session_stack[-1] if _session_stack else None
+
+
+class Session:
+    def __init__(self, run_mode: RunMode = RunMode.GRAPH, api: Api = Api.AUTO,
+                 compute_dtype=jnp.float32,
+                 profiler_level: ProfilerLevel = ProfilerLevel.UNSET,
+                 name: str = "sess"):
+        self.run_mode = run_mode
+        self.api = api
+        self.compute_dtype = compute_dtype
+        self.profiler_level = profiler_level
+        self.name = name
+        self.graph = Graph()
+        self._compiled = None
+        self._consts: Dict[str, Any] = {}
+        self._setup_done = False
+        self.trace = None           # runtime/profiler.py Tracer when TRACE level
+        self.layer_times: Dict[str, float] = {}   # per-layer benchmark (TIMER)
+        if profiler_level in (ProfilerLevel.TRACE, ProfilerLevel.ALL):
+            from csinn2_tpu.runtime.profiler import Tracer
+            self.trace = Tracer(session_name=name)
+
+    # -- build phase ---------------------------------------------------------
+
+    @contextlib.contextmanager
+    def build(self):
+        """Graph-recording scope: op API calls inside are intercepted
+        (the `est` hook analog, ref: csinn_data_structure.h:560)."""
+        _session_stack.append(self)
+        try:
+            yield self
+        finally:
+            _session_stack.pop()
+
+    def input(self, meta: TensorMeta) -> Tensor:
+        """(ref: csinn_set_input / csinn_set_tensor_entry, setup.c:524)."""
+        t = Tensor(meta=dataclasses_replace_none(meta), producer=None)
+        self.graph.inputs.append(t)
+        return t
+
+    def set_output(self, *tensors: Tensor):
+        """(ref: csinn_set_output)."""
+        self.graph.outputs.extend(tensors)
+
+    def record(self, node: Node):
+        self.graph.add_node(node)
+
+    @property
+    def recording(self) -> bool:
+        return self.run_mode in (RunMode.GRAPH, RunMode.HYBRID) and not self._setup_done
+
+    # -- setup / compile -----------------------------------------------------
+
+    def setup(self, donate_inputs: bool = False, sharding=None):
+        """Compile the recorded graph into one XLA executable
+        (ref: csinn_session_setup → shl_gref_session_setup, setup.c:688)."""
+        t0 = time.perf_counter()
+        self.graph.topo_check()
+        self._consts = self.graph.collect_consts()
+
+        trace_hook = None
+
+        def fn(consts, *inputs):
+            return self.graph.execute(inputs, consts, trace_hook=trace_hook)
+
+        self._compiled = jax.jit(fn)
+        self._setup_done = True
+        log.info("%s: setup recorded %d nodes in %.1f ms", self.name,
+                 len(self.graph.nodes), (time.perf_counter() - t0) * 1e3)
+        return self
+
+    # -- run -----------------------------------------------------------------
+
+    def run(self, *input_arrays, unwrap: bool = True):
+        """(ref: csinn_session_run, setup.c:493)."""
+        assert self._setup_done, "call setup() first"
+        arrays = [a.data if isinstance(a, Tensor) else jnp.asarray(a)
+                  for a in input_arrays]
+        if self.trace is not None:
+            with self.trace.event("session_run", cat="runtime"):
+                out = self._compiled(self._consts, *arrays)
+                out = jax.block_until_ready(out)
+        else:
+            out = self._compiled(self._consts, *arrays)
+        if unwrap and len(out) == 1:
+            return out[0]
+        return out
+
+    def run_benchmark(self, *input_arrays, iters: int = 10, warmup: int = 3):
+        """Per-session timing (ref: session-verb wall-clock, setup.c:471-507
+        and SHL_LAYER_BENCHMARK).  Returns seconds/iter."""
+        arrays = [a.data if isinstance(a, Tensor) else jnp.asarray(a)
+                  for a in input_arrays]
+        for _ in range(warmup):
+            jax.block_until_ready(self._compiled(self._consts, *arrays))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = self._compiled(self._consts, *arrays)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / iters
+
+    def update_const(self, tensor: Tensor, new_data):
+        """Swap a weight without recompiling (ref: csinn_update_input re-points
+        data, source/graph_ref/setup.c:51-56)."""
+        from csinn2_tpu.graph.ir import _const_key
+        key = _const_key(tensor)
+        assert key in self._consts, "tensor is not a bound constant"
+        self._consts[key] = jnp.asarray(new_data)
+
+    # -- introspection -------------------------------------------------------
+
+    def export_json(self) -> str:
+        """(ref: shl_export_model_json, source/utils/export.c:24)."""
+        from csinn2_tpu.runtime.export import graph_to_json
+        return graph_to_json(self.graph)
+
+
+def dataclasses_replace_none(meta: TensorMeta) -> TensorMeta:
+    return meta
