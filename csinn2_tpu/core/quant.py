@@ -119,13 +119,20 @@ def quantize(x, qinfo: QuantInfo):
 
 
 def dequantize(q, qinfo: QuantInfo):
-    """quantized int carrier → f32: (q - zp) * scale."""
+    """quantized int carrier → f32: (q - zp) * scale.
+
+    The widening hop int8→int32→f32 avoids a v5e XLA miscompile when a
+    direct narrow-int→float convert fuses into a grouped convolution
+    (see kernels/qconv.py)."""
     if qinfo.dtype.is_float:
         return jnp.asarray(q, jnp.float32)
     shp = qinfo.broadcast_shape(jnp.ndim(q))
     scale = jnp.reshape(jnp.asarray(qinfo.scale, jnp.float32), shp)
     zp = jnp.reshape(jnp.asarray(qinfo.zero_point, jnp.float32), shp)
-    return (jnp.asarray(q, jnp.float32) - zp) * scale
+    q = jnp.asarray(q)
+    if q.dtype in (jnp.int8, jnp.uint8):
+        q = q.astype(jnp.int32)
+    return (q.astype(jnp.float32) - zp) * scale
 
 
 def quantize_multiplier(double_multiplier: ArrayLike) -> Tuple[np.ndarray, np.ndarray]:

@@ -1,0 +1,168 @@
+"""Blockwise (flash) scaled-dot-product attention Pallas kernel.
+
+TPU-native analog of the reference's fused single-pass per-head attention
+kernel q0k1_softmax_v1 (ref:
+source/thead_rvv/fp16/scaled_dot_product_attention.c:25-76 — QK^T → causal
+mask → softmax → V per head, OpenMP over batch×heads).  On TPU the per-head
+loop becomes the Pallas grid, the single-pass softmax becomes the
+online-softmax recurrence over K/V blocks (so sk never materializes in VMEM),
+and OpenMP work-sharing becomes MXU tiling.
+
+Supports:
+  * causal masking with *dynamic* query offset and kv length (decode over a
+    static-shape KV cache re-uses one compiled kernel for every position —
+    the retrace-free analog of the reference's per-token dynamic-shape
+    re-inference, ref: llm_session_dynamic_infer_shape, source/llm/llm.c:3-141)
+  * grouped-query attention (hq a multiple of hk) via head index mapping
+  * optional per-tensor KV dequant scale (int8-quantized KV cache,
+    BASELINE configs 4/5)
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _attn_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
+                 scale: float, causal: bool, blk_k: int, n_kb: int,
+                 kv_scale: Optional[float]):
+    """Grid: (batch*heads, n_q_blocks, n_k_blocks); K innermost.
+    lens_ref (SMEM): [q_offset, kv_len]."""
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q_offset = lens_ref[0, 0]
+    kv_len = lens_ref[0, 1]
+
+    q = q_ref[0].astype(jnp.float32)          # [blk_q, d]
+    k = k_ref[0].astype(jnp.float32)          # [blk_k, d]
+    v = v_ref[0].astype(jnp.float32)          # [blk_k, d]
+    if kv_scale is not None:
+        k = k * kv_scale
+        v = v * kv_scale
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale  # [blk_q, blk_k]
+
+    qb = pl.program_id(1)
+    blk_q = q.shape[0]
+    qpos = qb * blk_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + q_offset
+    kpos = kb * blk_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    mask = kpos < kv_len
+    if causal:
+        mask = mask & (kpos <= qpos)
+    s = jnp.where(mask, s, NEG_INF)
+
+    m_prev = m_ref[:]                          # [blk_q, 1]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)                     # [blk_q, blk_k]
+    p = jnp.where(mask, p, 0.0)                # kill exp(NEG_INF - NEG_INF) = 1
+    alpha = jnp.exp(m_prev - m_new)            # [blk_q, 1]
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+        p.astype(jnp.float32), v, preferred_element_type=jnp.float32)
+    m_ref[:] = m_new
+
+    @pl.when(kb == n_kb - 1)
+    def _():
+        denom = jnp.where(l_ref[:] == 0.0, 1.0, l_ref[:])
+        o_ref[0] = (acc_ref[:] / denom).astype(o_ref.dtype)
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "scale", "blk_q",
+                                             "blk_k", "interpret", "kv_scale"))
+def flash_attention(q, k, v, *, causal: bool = True, q_offset=0, kv_len=None,
+                    scale: Optional[float] = None, blk_q: int = 256,
+                    blk_k: int = 512, kv_scale: Optional[float] = None,
+                    interpret: bool = False):
+    """q: [b, hq, sq, d]; k/v: [b, hk, sk, d] (hq % hk == 0) → [b, hq, sq, d].
+
+    q_offset (dynamic ok): positions in the KV prefix ahead of q (decode).
+    kv_len (dynamic ok): valid KV entries (static cache may be longer);
+                         defaults to sk.
+    kv_scale: per-tensor dequant scale when k/v are int8 carriers.
+    """
+    b, hq, sq, d = q.shape
+    _, hk, sk, _ = k.shape
+    assert hq % hk == 0
+    group = hq // hk
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    if kv_len is None:
+        kv_len = sk
+
+    blk_q = min(blk_q, _round_up(sq, 8))
+    blk_k = min(blk_k, _round_up(sk, 128))
+    sqp, skp = _round_up(sq, blk_q), _round_up(sk, blk_k)
+    dp = _round_up(d, 128)
+
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, sqp - sq), (0, dp - d)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, skp - sk), (0, dp - d)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, skp - sk), (0, dp - d)))
+
+    bh = b * hq
+    q3 = qp.reshape(bh, sqp, dp)
+    k3 = kp.reshape(b * hk, skp, dp)
+    v3 = vp.reshape(b * hk, skp, dp)
+    lens = jnp.asarray([[q_offset, jnp.minimum(kv_len, sk)]], jnp.int32)
+
+    n_qb = sqp // blk_q
+    n_kb = skp // blk_k
+    grid = (bh, n_qb, n_kb)
+
+    kernel = functools.partial(
+        _attn_kernel, scale=scale, causal=causal, blk_k=blk_k, n_kb=n_kb,
+        kv_scale=kv_scale)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda h, qb, kb: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, blk_q, dp), lambda h, qb, kb: (h, qb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk_k, dp), lambda h, qb, kb, _g=group: (h // _g, kb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk_k, dp), lambda h, qb, kb, _g=group: (h // _g, kb, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, blk_q, dp), lambda h, qb, kb: (h, qb, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, sqp, dp), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((blk_q, 1), jnp.float32),    # running max m
+            pltpu.VMEM((blk_q, 1), jnp.float32),    # running sum l
+            pltpu.VMEM((blk_q, dp), jnp.float32),   # output accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(4 * bh * sqp * skp * dp),
+            bytes_accessed=int(q3.size * 4 + k3.size * 4 * group + v3.size * 4 * group),
+            transcendentals=int(bh * sqp * skp),
+        ),
+        interpret=interpret,
+    )(lens, q3, k3, v3)
+
+    return out.reshape(b, hq, sqp, dp)[:, :, :sq, :d]

@@ -1,0 +1,236 @@
+"""Inference engine: jitted prefill/decode, sampling, and a continuous-
+batching slot scheduler.
+
+(ref: llm_run + the per-token loop in tests/llm/llama2.c — but with the TPU
+execution model: one compiled executable per phase, static shapes, KV updates
+at dynamic positions, no per-token re-tracing.  Continuous batching is
+net-new per BASELINE config 5.)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from csinn2_tpu.llm.config import LlamaConfig
+from csinn2_tpu.llm.model import KVCache, llama_forward
+
+
+def _bucket(n: int, buckets=(32, 64, 128, 256, 512, 1024, 2048)) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+@dataclasses.dataclass
+class Slot:
+    """One continuous-batching lane."""
+
+    id: int
+    pos: int = 0                 # tokens currently in cache
+    active: bool = False
+    tokens: List[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+class InferenceEngine:
+    """Batch decode engine over a static KV cache.
+
+    prefill(): processes a prompt into one slot's cache rows (bucketed lengths
+    to bound compile count — the retrace-free analog of the reference's
+    per-token dynamic shape pass).
+    decode_step(): one token for every active slot in parallel.
+    """
+
+    def __init__(self, cfg: LlamaConfig, params, batch: int = 1,
+                 quantized_kv: bool = False, kv_scale: float = 0.05,
+                 use_pallas: Optional[bool] = None):
+        self.cfg = cfg
+        self.params = params
+        self.batch = batch
+        self.use_pallas = use_pallas
+        self.cache = KVCache.create(cfg, batch, quantized=quantized_kv,
+                                    scale=kv_scale)
+        self.slots = [Slot(id=i) for i in range(batch)]
+
+        cfg_static = cfg
+
+        @functools.partial(jax.jit, static_argnames=("s",))
+        def _prefill(params, cache, tokens, pos, s):
+            logits, cache = llama_forward(params, tokens, cache, pos, cfg_static,
+                                          use_pallas)
+            return logits, cache
+
+        @jax.jit
+        def _decode(params, cache, tokens, pos_vec):
+            """tokens [B, 1]; pos_vec [B] per-slot positions."""
+            # run each slot row with its own pos via vmap-over-batch using a
+            # common forward at s=1: positions differ per row, so the fused
+            # batched path uses per-row pos in rope/mask.
+            logits, cache = _batched_decode_forward(params, tokens, cache,
+                                                    pos_vec, cfg_static,
+                                                    use_pallas)
+            return logits, cache
+
+        self._prefill_fn = _prefill
+        self._decode_fn = _decode
+
+    # -- phases --------------------------------------------------------------
+
+    def prefill(self, slot_id: int, prompt: List[int]):
+        """Fill `slot_id`'s cache with the prompt; returns logits of last pos.
+
+        Runs on a batch-1 slice of the cache and scatters the updated rows
+        back, so other slots' KV entries are untouched (continuous batching:
+        each lane fills independently)."""
+        slot = self.slots[slot_id]
+        n = len(prompt)
+        s = _bucket(n)
+        toks = np.zeros((1, s), np.int32)
+        toks[0, :n] = prompt
+        sub = KVCache(k=self.cache.k[:, slot_id:slot_id + 1],
+                      v=self.cache.v[:, slot_id:slot_id + 1],
+                      scale=self.cache.scale)
+        logits, sub = self._prefill_fn(self.params, sub, jnp.asarray(toks), 0, s=s)
+        self.cache = KVCache(
+            k=self.cache.k.at[:, slot_id:slot_id + 1].set(sub.k),
+            v=self.cache.v.at[:, slot_id:slot_id + 1].set(sub.v),
+            scale=self.cache.scale)
+        slot.pos = n
+        slot.active = True
+        slot.tokens = list(prompt)
+        return np.asarray(logits[0, n - 1])
+
+    def decode_step(self, next_tokens: Dict[int, int]) -> Dict[int, np.ndarray]:
+        """One decode step for the given {slot_id: token}; returns logits."""
+        toks = np.zeros((self.batch, 1), np.int32)
+        pos = np.zeros((self.batch,), np.int32)
+        for sid, tok in next_tokens.items():
+            toks[sid, 0] = tok
+            pos[sid] = self.slots[sid].pos
+        logits, self.cache = self._decode_fn(self.params, self.cache,
+                                             jnp.asarray(toks), jnp.asarray(pos))
+        out = {}
+        for sid in next_tokens:
+            self.slots[sid].pos += 1
+            self.slots[sid].tokens.append(next_tokens[sid])
+            out[sid] = np.asarray(logits[sid, 0])
+        return out
+
+    def generate(self, prompt: List[int], max_new_tokens: int = 32,
+                 temperature: float = 0.0, seed: int = 0) -> List[int]:
+        """Single-sequence greedy/temperature sampling loop."""
+        logits = self.prefill(0, prompt)
+        rng = np.random.default_rng(seed)
+        out = []
+        tok = self._sample(logits, temperature, rng)
+        for _ in range(max_new_tokens - 1):
+            out.append(tok)
+            logits = self.decode_step({0: tok})[0]
+            tok = self._sample(logits, temperature, rng)
+        out.append(tok)
+        return out
+
+    @staticmethod
+    def _sample(logits: np.ndarray, temperature: float, rng) -> int:
+        if temperature <= 0:
+            return int(np.argmax(logits))
+        p = np.exp((logits - logits.max()) / temperature)
+        p /= p.sum()
+        return int(rng.choice(len(p), p=p))
+
+    # -- benchmarking --------------------------------------------------------
+
+    def benchmark_decode(self, iters: int = 20, warmup: int = 3):
+        """tokens/s for a full decode batch (all slots active)."""
+        toks = {i: 1 for i in range(self.batch)}
+        for s in self.slots:
+            s.pos = max(s.pos, 16)
+        for _ in range(warmup):
+            self.decode_step(toks)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            self.decode_step(toks)
+        dt = time.perf_counter() - t0
+        return self.batch * iters / dt
+
+
+def _batched_decode_forward(params, tokens, cache, pos_vec, cfg, use_pallas):
+    """Decode with per-row positions: like llama_forward at s=1 but pos is a
+    vector [B].  RoPE and masking consume per-row positions; the KV store
+    scatters each row at its own pos."""
+    import numpy as np
+    from csinn2_tpu.llm.model import KVCache, linear, rms_norm, rope_rotate
+
+    b, s = tokens.shape
+    assert s == 1
+    x = params["tok_embedding"][tokens]                   # [b, 1, D]
+
+    def store_rows(cache, layer, k_new, v_new):
+        # k_new [b, 1, hk, dh] — scatter row i at pos_vec[i]
+        if cache.scale is not None:
+            k_new = jnp.clip(jnp.round(k_new.astype(jnp.float32) / cache.scale),
+                             -127, 127).astype(jnp.int8)
+            v_new = jnp.clip(jnp.round(v_new.astype(jnp.float32) / cache.scale),
+                             -127, 127).astype(jnp.int8)
+        else:
+            k_new = k_new.astype(cache.k.dtype)
+            v_new = v_new.astype(cache.v.dtype)
+
+        def upd_row(buf_l, new_row, p):
+            # buf_l [S, hk, dh], new_row [1, hk, dh]
+            return jax.lax.dynamic_update_slice(buf_l, new_row, (p, 0, 0))
+
+        k_l = jax.vmap(upd_row)(cache.k[layer], k_new, pos_vec)
+        v_l = jax.vmap(upd_row)(cache.v[layer], v_new, pos_vec)
+        k = cache.k.at[layer].set(k_l)
+        v = cache.v.at[layer].set(v_l)
+        return KVCache(k=k, v=v, scale=cache.scale)
+
+    hq, hk, dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    D = cfg.dim
+    for i, lp in enumerate(params["layers"]):
+        h = rms_norm(x, lp["attn_norm"], cfg.norm_eps).astype(jnp.bfloat16)
+        q = linear(h, lp["wq"], use_pallas=use_pallas).reshape(b, 1, hq, dh)
+        k = linear(h, lp["wk"], use_pallas=use_pallas).reshape(b, 1, hk, dh)
+        v = linear(h, lp["wv"], use_pallas=use_pallas).reshape(b, 1, hk, dh)
+        q = rope_rotate(q, pos_vec[:, None], cfg.rope_base)
+        k = rope_rotate(k, pos_vec[:, None], cfg.rope_base)
+        cache = store_rows(cache, i, k, v)
+
+        k_all = cache.k[i]                                # [b, S, hk, dh]
+        v_all = cache.v[i]
+        kf = k_all.astype(jnp.float32) * (cache.scale or 1.0)
+        vf = v_all.astype(jnp.float32) * (cache.scale or 1.0)
+        if hq != hk:
+            rep = hq // hk
+            kf = jnp.repeat(kf, rep, axis=2)
+            vf = jnp.repeat(vf, rep, axis=2)
+        scale = 1.0 / np.sqrt(dh)
+        # [b, hq, 1, S]
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32), kf) * scale
+        S = kf.shape[1]
+        kpos = jnp.arange(S)[None, :]                     # [1, S]
+        mask = kpos <= pos_vec[:, None]                   # [b, S]
+        logits = jnp.where(mask[:, None, None, :], logits, -1e30)
+        probs = jax.nn.softmax(logits, axis=-1)
+        attn = jnp.einsum("bhqk,bkhd->bqhd", probs, vf)   # [b, 1, hq, dh]
+        attn = attn.reshape(b, 1, D).astype(jnp.bfloat16)
+        x = x + linear(attn, lp["wo"], use_pallas=use_pallas).astype(x.dtype)
+
+        h = rms_norm(x, lp["ffn_norm"], cfg.norm_eps).astype(jnp.bfloat16)
+        h1 = linear(h, lp["w1"], use_pallas=use_pallas)
+        h3 = linear(h, lp["w3"], use_pallas=use_pallas)
+        hsw = (jax.nn.silu(h1) * h3).astype(jnp.bfloat16)
+        x = x + linear(hsw, lp["w2"], use_pallas=use_pallas).astype(x.dtype)
+
+    x = rms_norm(x, params["norm"], cfg.norm_eps).astype(jnp.bfloat16)
+    logits = linear(x, params["output"], use_pallas=use_pallas)
+    return logits, cache

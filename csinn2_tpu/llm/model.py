@@ -1,0 +1,340 @@
+"""Functional Llama forward with weight-only quantized linears and a
+static-shape (optionally int8) KV cache.
+
+(ref: the per-layer graph builders llama2_build_transformer_block /
+llama2_embedding / llama2_output — source/llm/llama2.c:109-652; weight structs
+shl_transformer_block {wq,wk,wv,wo,w1,w2,w3, attn_norm, ffn_norm, cache_k/v},
+include/llm/shl_llm.h:40-90.)
+
+Everything here is a pure function over a params pytree, jit/shard_map
+friendly; quantized linears route to the Pallas fused dequant-GEMM on TPU and
+to its XLA reference elsewhere.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from csinn2_tpu.core.quant import BLOCK_SIZE
+from csinn2_tpu.llm.config import LlamaConfig
+
+# quant modes for weights
+FLOAT = "float"            # bf16 weights
+INT8_CHANNEL = "int8"      # int8 + per-out-channel scale (f32[N])
+INT4_CHANNEL = "int4"      # int4 (int8 carrier in [-8,7]) + per-channel scale
+Q8_0 = "q8_0"              # int8 + f16 scale per 32 along K
+Q4_0 = "q4_0"              # int4 carrier + f16 scale per 32 along K
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QWeight:
+    """[K, N] weight in one of the quant modes (ref: shl_block_quantize
+    target layouts, source/llm/llama2_quantize.c:25-115)."""
+
+    values: Any                 # bf16 [K,N] (float) | int8 [K,N]
+    scales: Any = None          # None | f32 [N] | f32 [K/32, N]
+    mode: str = FLOAT
+
+    def tree_flatten(self):
+        return (self.values, self.scales), self.mode
+
+    @classmethod
+    def tree_unflatten(cls, mode, children):
+        return cls(values=children[0], scales=children[1], mode=mode)
+
+    @property
+    def shape(self):
+        return self.values.shape
+
+
+def quantize_weight(w: np.ndarray, mode: str) -> QWeight:
+    """f32 [K, N] → QWeight (ref: quantize_tensor / shl_block_quantize,
+    llama2_quantize.c:25-115)."""
+    w = np.asarray(w, np.float32)
+    if mode == FLOAT:
+        return QWeight(values=jnp.asarray(w, jnp.bfloat16), mode=FLOAT)
+    if mode in (INT8_CHANNEL, INT4_CHANNEL):
+        bound = 127.0 if mode == INT8_CHANNEL else 7.0
+        amax = np.abs(w).max(axis=0)                      # per out-channel
+        scale = np.where(amax == 0, 1.0, amax / bound).astype(np.float32)
+        q = np.clip(np.round(w / scale), -bound - 1, bound).astype(np.int8)
+        return QWeight(values=jnp.asarray(q), scales=jnp.asarray(scale), mode=mode)
+    if mode in (Q8_0, Q4_0):
+        K, N = w.shape
+        assert K % BLOCK_SIZE == 0
+        bound = 127.0 if mode == Q8_0 else 7.0
+        wb = w.reshape(K // BLOCK_SIZE, BLOCK_SIZE, N)
+        amax = np.abs(wb).max(axis=1, keepdims=True)
+        d = (amax / bound).astype(np.float16).astype(np.float32)  # f16-rounded scale
+        q = np.where(d == 0, 0.0, np.round(wb / np.where(d == 0, 1.0, d)))
+        q = np.clip(q, -bound, bound).astype(np.int8).reshape(K, N)
+        return QWeight(values=jnp.asarray(q),
+                       scales=jnp.asarray(d[:, 0, :], jnp.float32), mode=mode)
+    raise ValueError(mode)
+
+
+def linear(x, qw: QWeight, *, use_pallas: Optional[bool] = None):
+    """y = x @ dequant(qw); x [..., K] floats."""
+    from csinn2_tpu.kernels.qmatmul import quant_matmul, quant_matmul_ref
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    x2 = x.reshape(-1, K)
+    if qw.mode == FLOAT:
+        out = jnp.matmul(x2.astype(jnp.bfloat16), qw.values,
+                         preferred_element_type=jnp.float32)
+    else:
+        scale_mode = "channel" if qw.mode in (INT8_CHANNEL, INT4_CHANNEL) else "block"
+        fn = quant_matmul if use_pallas else quant_matmul_ref
+        out = fn(x2, qw.values, qw.scales, scale_mode=scale_mode,
+                 out_dtype=jnp.float32)
+    return out.reshape(*lead, qw.shape[-1])
+
+
+def rms_norm(x, weight, eps: float):
+    xf = x.astype(jnp.float32)
+    ms = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(ms + eps) * weight).astype(x.dtype)
+
+
+def rope_rotate(x, positions, base: float):
+    """Interleaved-pair RoPE matching the reference kernel
+    (ref: shl_rvv_rope_fp16, source/thead_rvv/fp16/rope.c:21-68).
+    x: [b, s, h, d]; positions: [s] or [b, s]."""
+    b, s, h, d = x.shape
+    inv_freq = base ** (-jnp.arange(0, d // 2, dtype=jnp.float32) * 2.0 / d)
+    pos = jnp.asarray(positions, jnp.float32)
+    theta = pos[..., None] * inv_freq          # [s, d/2] or [b, s, d/2]
+    if theta.ndim == 2:
+        theta = theta[None]
+    cos = jnp.cos(theta)[:, :, None, :]
+    sin = jnp.sin(theta)[:, :, None, :]
+    xf = x.astype(jnp.float32)
+    x0 = xf[..., 0::2]
+    x1 = xf[..., 1::2]
+    r0 = x0 * cos - x1 * sin
+    r1 = x0 * sin + x1 * cos
+    return jnp.stack([r0, r1], axis=-1).reshape(b, s, h, d).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# parameter pytree
+# ---------------------------------------------------------------------------
+
+def init_params(cfg: LlamaConfig, mode: str = FLOAT, seed: int = 0,
+                scale: float = 0.02) -> Dict:
+    """Random-init a full parameter pytree (tests/benchmarks; real weights via
+    llm.json_io.load — the shl_llm_load_json analog)."""
+    rng = np.random.default_rng(seed)
+
+    def w(shape):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    D, F = cfg.dim, cfg.ffn_dim
+    kvd = cfg.n_kv_heads * cfg.head_dim
+    params = {
+        "tok_embedding": jnp.asarray(w((cfg.vocab_size, D)), jnp.bfloat16),
+        "norm": jnp.ones((D,), jnp.float32),
+        "output": quantize_weight(w((D, cfg.vocab_size)), mode),
+        "layers": [],
+    }
+    for _ in range(cfg.n_layers):
+        params["layers"].append({
+            "attn_norm": jnp.ones((D,), jnp.float32),
+            "ffn_norm": jnp.ones((D,), jnp.float32),
+            "wq": quantize_weight(w((D, D)), mode),
+            "wk": quantize_weight(w((D, kvd)), mode),
+            "wv": quantize_weight(w((D, kvd)), mode),
+            "wo": quantize_weight(w((D, D)), mode),
+            "w1": quantize_weight(w((D, F)), mode),
+            "w2": quantize_weight(w((F, D)), mode),
+            "w3": quantize_weight(w((D, F)), mode),
+        })
+    return params
+
+
+def quantize_params(params: Dict, mode: str) -> Dict:
+    """Requantize a float params pytree to `mode` (ref: shl_block_quantize over
+    all blocks, llama2_quantize.c:91-115)."""
+    def conv(qw):
+        if not isinstance(qw, QWeight):
+            return qw
+        assert qw.mode == FLOAT, "requantize expects float params"
+        return quantize_weight(np.asarray(qw.values, np.float32), mode)
+
+    out = {"tok_embedding": params["tok_embedding"], "norm": params["norm"],
+           "output": conv(params["output"]), "layers": []}
+    for l in params["layers"]:
+        out["layers"].append({k: (conv(v) if isinstance(v, QWeight) else v)
+                              for k, v in l.items()})
+    return out
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class KVCache:
+    """Static-shape per-layer K/V buffers [L, B, S_max, H_kv, Dh]
+    (ref: cache_k/cache_v side buffers, shl_llm.h:81-84; fixed 2048,
+    llama2.c:204).  int8 mode stores carriers + one f32 scale (per-tensor,
+    set at quantize time from calibration or a fixed bound)."""
+
+    k: Any
+    v: Any
+    scale: Optional[float] = None     # None → float cache
+
+    def tree_flatten(self):
+        return (self.k, self.v), self.scale
+
+    @classmethod
+    def tree_unflatten(cls, scale, children):
+        return cls(k=children[0], v=children[1], scale=scale)
+
+    @staticmethod
+    def create(cfg: LlamaConfig, batch: int, quantized: bool = False,
+               scale: float = 0.05, dtype=jnp.bfloat16) -> "KVCache":
+        shape = (cfg.n_layers, batch, cfg.max_seq_len, cfg.n_kv_heads, cfg.head_dim)
+        if quantized:
+            return KVCache(k=jnp.zeros(shape, jnp.int8),
+                           v=jnp.zeros(shape, jnp.int8), scale=scale)
+        return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+                       scale=None)
+
+    def store(self, layer: int, pos, k_new, v_new) -> "KVCache":
+        """Write [b, s, hk, dh] at position `pos` (dynamic)."""
+        if self.scale is not None:
+            k_new = jnp.clip(jnp.round(k_new.astype(jnp.float32) / self.scale),
+                             -127, 127).astype(jnp.int8)
+            v_new = jnp.clip(jnp.round(v_new.astype(jnp.float32) / self.scale),
+                             -127, 127).astype(jnp.int8)
+        else:
+            k_new = k_new.astype(self.k.dtype)
+            v_new = v_new.astype(self.v.dtype)
+        k = jax.lax.dynamic_update_slice(
+            self.k, k_new[None], (layer, 0, pos, 0, 0))
+        v = jax.lax.dynamic_update_slice(
+            self.v, v_new[None], (layer, 0, pos, 0, 0))
+        return KVCache(k=k, v=v, scale=self.scale)
+
+    def read(self, layer: int):
+        """→ (k, v) [b, S_max, hk, dh] float."""
+        k = self.k[layer]
+        v = self.v[layer]
+        if self.scale is not None:
+            return k, v  # carriers; dequant fused in attention (kv_scale)
+        return k, v
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def attention_block(x, layer_params, cache: KVCache, layer_idx: int, pos,
+                    cfg: LlamaConfig, use_pallas: Optional[bool] = None,
+                    tp_axis: Optional[str] = None):
+    """One attention sublayer incl. KV-cache update
+    (ref: llama2_build_transformer_block attention part, llama2.c:109-429).
+
+    Under tensor parallelism (tp_axis set, inside shard_map) `cfg` is the
+    *local* config (heads divided by tp) and the wo output is psum-reduced
+    across the mesh axis — the reference has no distribution at all
+    (SURVEY.md §2 parallelism note); this is the BASELINE-mandated TP design:
+    heads shard columns of wq/wk/wv and rows of wo, so the only collective
+    per attention sublayer is one psum riding the ICI."""
+    b, s, D = x.shape
+    hq, hk, dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+
+    q = linear(x, layer_params["wq"], use_pallas=use_pallas).reshape(b, s, hq, dh)
+    k = linear(x, layer_params["wk"], use_pallas=use_pallas).reshape(b, s, hk, dh)
+    v = linear(x, layer_params["wv"], use_pallas=use_pallas).reshape(b, s, hk, dh)
+
+    positions = pos + jnp.arange(s, dtype=jnp.int32)
+    q = rope_rotate(q, positions, cfg.rope_base)
+    k = rope_rotate(k, positions, cfg.rope_base)
+
+    cache = cache.store(layer_idx, pos, k, v)
+    k_all, v_all = cache.read(layer_idx)      # [b, S_max, hk, dh]
+
+    q_t = jnp.transpose(q, (0, 2, 1, 3))                    # [b, hq, s, dh]
+    k_t = jnp.transpose(k_all, (0, 2, 1, 3))                # [b, hk, S, dh]
+    v_t = jnp.transpose(v_all, (0, 2, 1, 3))
+
+    from csinn2_tpu.kernels.flash_attention import flash_attention
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        out = flash_attention(q_t.astype(jnp.bfloat16),
+                              k_t, v_t, causal=True, q_offset=pos,
+                              kv_len=pos + s, kv_scale=cache.scale)
+    else:
+        # XLA fallback with the same masking semantics
+        kf = k_t.astype(jnp.float32) * (cache.scale or 1.0)
+        vf = v_t.astype(jnp.float32) * (cache.scale or 1.0)
+        if hq != hk:
+            rep = hq // hk
+            kf = jnp.repeat(kf, rep, axis=1)
+            vf = jnp.repeat(vf, rep, axis=1)
+        scale = 1.0 / np.sqrt(dh)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q_t.astype(jnp.float32), kf) * scale
+        S = kf.shape[2]
+        qpos = pos + jnp.arange(s)[:, None]
+        kpos = jnp.arange(S)[None, :]
+        mask = (kpos <= qpos) & (kpos < pos + s)
+        logits = jnp.where(mask[None, None], logits, -1e30)
+        probs = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, vf)
+
+    out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, s, hq * dh)
+    out = linear(out.astype(jnp.bfloat16), layer_params["wo"], use_pallas=use_pallas)
+    if tp_axis is not None:
+        out = jax.lax.psum(out, tp_axis)
+    return out, cache
+
+
+def ffn_block(x, layer_params, use_pallas=None, tp_axis: Optional[str] = None):
+    """SwiGLU FFN: w2(silu(w1 x) * w3 x) (ref: llama2.c:431-455).
+    Under TP, w1/w3 are column-sharded and w2 row-sharded → one psum."""
+    h1 = linear(x, layer_params["w1"], use_pallas=use_pallas)
+    h3 = linear(x, layer_params["w3"], use_pallas=use_pallas)
+    h = jax.nn.silu(h1) * h3
+    out = linear(h.astype(jnp.bfloat16), layer_params["w2"], use_pallas=use_pallas)
+    if tp_axis is not None:
+        out = jax.lax.psum(out, tp_axis)
+    return out
+
+
+def llama_forward(params, tokens, cache: KVCache, pos, cfg: LlamaConfig,
+                  use_pallas: Optional[bool] = None,
+                  tp_axis: Optional[str] = None) -> Tuple[Any, KVCache]:
+    """tokens [b, s] int32, pos scalar (dynamic) → (logits [b, s, V], cache').
+
+    One fused jit-able function for both prefill (s=seq) and decode (s=1) —
+    replacing the reference's 34 per-session runs per token (llm_run,
+    source/llm/llm.c:152-181).
+    """
+    x = params["tok_embedding"][tokens]                  # [b, s, D] bf16
+    for i, lp in enumerate(params["layers"]):
+        h = rms_norm(x, lp["attn_norm"], cfg.norm_eps)
+        attn_out, cache = attention_block(h.astype(jnp.bfloat16), lp, cache, i,
+                                          pos, cfg, use_pallas, tp_axis)
+        x = x + attn_out.astype(x.dtype)
+        h = rms_norm(x, lp["ffn_norm"], cfg.norm_eps)
+        x = x + ffn_block(h.astype(jnp.bfloat16), lp, use_pallas,
+                          tp_axis).astype(x.dtype)
+    x = rms_norm(x, params["norm"], cfg.norm_eps)
+    logits = linear(x.astype(jnp.bfloat16), params["output"], use_pallas=use_pallas)
+    if tp_axis is not None:
+        # vocab-sharded lm_head: gather the logit shards along the last dim
+        logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
+    return logits, cache

@@ -1,0 +1,147 @@
+"""Tensor-parallel Llama over a device mesh via shard_map.
+
+Sharding layout (the scaling-book "Megatron" recipe, net-new vs the
+single-core reference — SURVEY.md §2 parallelism note):
+
+  wq/wk/wv : [D, H·Dh]  column-sharded (heads split across tp)
+  wo       : [H·Dh, D]  row-sharded    → psum after wo
+  w1/w3    : [D, F]     column-sharded (F split)
+  w2       : [F, D]     row-sharded    → psum after w2
+  output   : [D, V]     column-sharded → all-gather logits
+  KV cache : [L, B, S, H_kv, Dh] head-sharded (each device attends its heads)
+  embedding, norms, residual stream: replicated
+
+Two collectives per layer (psum after wo, psum after w2) + one all-gather at
+the head — all riding ICI inside jit-scheduled async collectives.
+
+shard_map (not bare GSPMD jit) is used so the Pallas quantized GEMM and flash
+attention kernels run on local shards.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from csinn2_tpu.llm.config import LlamaConfig
+from csinn2_tpu.llm.model import KVCache, QWeight, llama_forward
+
+
+def local_config(cfg: LlamaConfig, tp: int) -> LlamaConfig:
+    """Per-device config under head/ffn sharding."""
+    assert cfg.n_heads % tp == 0 and cfg.n_kv_heads % tp == 0 \
+        and cfg.ffn_dim % tp == 0 and cfg.vocab_size % tp == 0, \
+        f"config not divisible by tp={tp}"
+    return dataclasses.replace(cfg, n_heads=cfg.n_heads // tp,
+                               n_kv_heads=cfg.n_kv_heads // tp,
+                               ffn_dim=cfg.ffn_dim // tp)
+
+
+def _qw_spec(col_sharded: bool, axis: str = "tp") -> QWeight:
+    """PartitionSpec pytree matching QWeight(values, scales).
+
+    col_sharded: shard N (last dim) — per-channel scales [N] and block scales
+    [K/32, N] shard their N dim.  Row-sharded: shard K — channel scales are
+    replicated, block scales shard K/32.
+    NOTE: a single spec must work for whichever scale layout is present;
+    we emit the block-scale spec and rely on per-mode spec construction below.
+    """
+    if col_sharded:
+        return QWeight(values=P(None, axis), scales=P(None, axis))
+    return QWeight(values=P(axis, None), scales=P(axis, None))
+
+
+def _qw_spec_for(qw: QWeight, col_sharded: bool, axis: str = "tp") -> QWeight:
+    from csinn2_tpu.llm.model import FLOAT, INT4_CHANNEL, INT8_CHANNEL
+    if col_sharded:
+        v = P(None, axis)
+        if qw.mode == FLOAT:
+            s = None
+        elif qw.mode in (INT8_CHANNEL, INT4_CHANNEL):
+            s = P(axis)            # [N]
+        else:
+            s = P(None, axis)      # [K/32, N]
+    else:
+        v = P(axis, None)
+        if qw.mode == FLOAT:
+            s = None
+        elif qw.mode in (INT8_CHANNEL, INT4_CHANNEL):
+            s = P()                # [N] replicated
+        else:
+            s = P(axis, None)      # [K/32, N]
+    return QWeight(values=v, scales=s, mode=qw.mode)
+
+
+def param_specs(params) -> dict:
+    """PartitionSpec pytree for a Llama params pytree."""
+    specs = {
+        "tok_embedding": P(None, None),
+        "norm": P(None),
+        "output": _qw_spec_for(params["output"], col_sharded=True),
+        "layers": [],
+    }
+    for lp in params["layers"]:
+        specs["layers"].append({
+            "attn_norm": P(None),
+            "ffn_norm": P(None),
+            "wq": _qw_spec_for(lp["wq"], True),
+            "wk": _qw_spec_for(lp["wk"], True),
+            "wv": _qw_spec_for(lp["wv"], True),
+            "wo": _qw_spec_for(lp["wo"], False),
+            "w1": _qw_spec_for(lp["w1"], True),
+            "w2": _qw_spec_for(lp["w2"], False),
+            "w3": _qw_spec_for(lp["w3"], True),
+        })
+    return specs
+
+
+def cache_spec() -> KVCache:
+    # [L, B, S, H_kv, Dh] — heads sharded
+    return KVCache(k=P(None, "dp", None, "tp", None),
+                   v=P(None, "dp", None, "tp", None), scale=None)
+
+
+def shard_llama_params(params, mesh: Mesh):
+    """Place a params pytree onto the mesh per param_specs."""
+    specs = param_specs(params)
+
+    def place(x, spec):
+        if x is None or spec is None:
+            return x
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(place, params, specs,
+                                  is_leaf=lambda x: x is None)
+
+
+def tp_llama_forward(mesh: Mesh, cfg: LlamaConfig,
+                     use_pallas: Optional[bool] = None):
+    """Build the shard_map'd forward: (params, tokens, cache, pos) →
+    (logits, cache')."""
+    tp = mesh.shape["tp"]
+    lcfg = local_config(cfg, tp)
+
+    def fwd(params, tokens, cache, pos):
+        return llama_forward(params, tokens, cache, pos, lcfg,
+                             use_pallas=use_pallas, tp_axis="tp")
+
+    def apply(params, tokens, cache, pos):
+        pspecs = param_specs(params)
+        # spec pytree aux data (QWeight.mode / KVCache.scale) must equal the
+        # value's aux for treedef matching
+        cspec = KVCache(k=P(None, "dp", None, "tp", None),
+                        v=P(None, "dp", None, "tp", None),
+                        scale=cache.scale)
+        in_specs = (pspecs, P("dp", None), cspec, P())
+        out_specs = (P("dp", None, None), cspec)
+        fn = shard_map(fwd, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_rep=False)
+        return fn(params, tokens, cache, pos)
+
+    return apply

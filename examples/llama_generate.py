@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""LLM engine demo — the analog of tests/llm/llama2.c: build a (random-weight)
+Llama, quantize weights, generate tokens, report decode tokens/s and the
+quantized-vs-float logit cosine.
+
+Usage:  python examples/llama_generate.py [--mode q8_0] [--layers 2] [--dim 256]
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from csinn2_tpu.llm.config import LlamaConfig
+from csinn2_tpu.llm.engine import InferenceEngine
+from csinn2_tpu.llm.model import FLOAT, init_params, quantize_params
+from csinn2_tpu.utils.verify import cosine_similarity
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="q8_0",
+                    choices=["float", "int8", "int4", "q8_0", "q4_0"])
+    ap.add_argument("--layers", type=int, default=2)
+    ap.add_argument("--dim", type=int, default=256)
+    ap.add_argument("--heads", type=int, default=4)
+    ap.add_argument("--tokens", type=int, default=16)
+    ap.add_argument("--quant-kv", action="store_true")
+    args = ap.parse_args()
+
+    from csinn2_tpu.utils.platform import backend_summary, honor_env_platform
+    honor_env_platform()
+    cfg = LlamaConfig(dim=args.dim, n_layers=args.layers, n_heads=args.heads,
+                      n_kv_heads=args.heads, ffn_dim=args.dim * 4,
+                      vocab_size=1024, max_seq_len=256)
+    print(f"== Llama dim={cfg.dim} L={cfg.n_layers} mode={args.mode} "
+          f"on {backend_summary()} ==")
+
+    t0 = time.perf_counter()
+    fparams = init_params(cfg, mode=FLOAT, seed=0)
+    params = fparams if args.mode == "float" else quantize_params(fparams, args.mode)
+    print(f"params init+quant: {time.perf_counter()-t0:.2f}s")
+
+    eng = InferenceEngine(cfg, params, batch=1, quantized_kv=args.quant_kv)
+    prompt = [1, 5, 9, 13, 21]
+
+    t0 = time.perf_counter()
+    out = eng.generate(prompt, max_new_tokens=args.tokens)
+    print(f"generate {args.tokens} tokens (incl. compile): {time.perf_counter()-t0:.2f}s")
+    print(f"tokens: {out}")
+
+    tps = eng.benchmark_decode(iters=10, warmup=2)
+    print(f"decode throughput: {tps:.1f} tokens/s")
+
+    if args.mode != "float":
+        feng = InferenceEngine(cfg, fparams, batch=1)
+        fl = feng.prefill(0, prompt)
+        ql = eng.prefill(0, prompt)
+        cs = cosine_similarity(ql, fl)
+        print(f"logit cosine ({args.mode} vs float): {cs:.5f}")
+        ok = cs >= 0.95
+        print("PASS" if ok else "FAIL")
+        return 0 if ok else 1
+    print("PASS")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,81 @@
+"""Flash attention kernel tests vs the naive SDPA reference
+(analog of the reference's SDPA validation_layer test)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from csinn2_tpu.kernels.flash_attention import flash_attention
+from csinn2_tpu.ops.ref.attention import scaled_dot_product_attention as sdpa_ref
+from csinn2_tpu.ops.params import SDPAParams
+from csinn2_tpu.utils.verify import verify
+
+
+def _mk(rng, b, hq, hk, sq, sk, d):
+    q = rng.standard_normal((b, hq, sq, d)).astype(np.float32)
+    k = rng.standard_normal((b, hk, sk, d)).astype(np.float32)
+    v = rng.standard_normal((b, hk, sk, d)).astype(np.float32)
+    return q, k, v
+
+
+def test_flash_causal_matches_ref(rng):
+    q, k, v = _mk(rng, 1, 2, 2, 64, 64, 16)
+    golden = np.asarray(sdpa_ref(q, k, v, SDPAParams(causal=True)))
+    out = np.asarray(flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                                     causal=True, blk_q=32, blk_k=128, interpret=True))
+    r = verify(out, golden, tol=2e-2, min_cosine=0.9999)
+    assert r.cosine_sim > 0.9999, r
+
+
+def test_flash_gqa(rng):
+    q, k, v = _mk(rng, 1, 4, 2, 32, 32, 8)
+    golden = np.asarray(sdpa_ref(q, k, v, SDPAParams(causal=True)))
+    out = np.asarray(flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                                     causal=True, blk_q=32, blk_k=128, interpret=True))
+    r = verify(out, golden, tol=2e-2, min_cosine=0.9999)
+    assert r.cosine_sim > 0.9999, r
+
+
+def test_flash_decode_with_cache(rng):
+    """sq=1 decode against a static cache longer than kv_len."""
+    b, h, d = 1, 2, 16
+    max_seq, kv_len = 128, 37
+    q = rng.standard_normal((b, h, 1, d)).astype(np.float32)
+    k_full = rng.standard_normal((b, h, max_seq, d)).astype(np.float32)
+    v_full = rng.standard_normal((b, h, max_seq, d)).astype(np.float32)
+    # golden: attend over the first kv_len entries, q at position kv_len-1
+    golden = np.asarray(sdpa_ref(q, k_full[:, :, :kv_len], v_full[:, :, :kv_len],
+                                 SDPAParams(causal=True)))
+    out = np.asarray(flash_attention(jnp.asarray(q), jnp.asarray(k_full),
+                                     jnp.asarray(v_full), causal=True,
+                                     q_offset=kv_len - 1, kv_len=kv_len,
+                                     blk_q=8, blk_k=128, interpret=True))
+    r = verify(out, golden, tol=2e-2, min_cosine=0.9999)
+    assert r.cosine_sim > 0.9999, r
+
+
+def test_flash_noncausal(rng):
+    q, k, v = _mk(rng, 1, 1, 1, 16, 128, 8)
+    golden = np.asarray(sdpa_ref(q, k, v, SDPAParams(causal=False)))
+    out = np.asarray(flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                                     causal=False, blk_q=16, blk_k=128, interpret=True))
+    r = verify(out, golden, tol=2e-2, min_cosine=0.9999)
+    assert r.cosine_sim > 0.9999, r
+
+
+def test_flash_int8_kv(rng):
+    """int8 KV carriers + per-tensor scale dequantized in-register."""
+    b, h, sq, sk, d = 1, 2, 16, 64, 16
+    q = rng.standard_normal((b, h, sq, d)).astype(np.float32)
+    kf = rng.standard_normal((b, h, sk, d)).astype(np.float32)
+    vf = rng.standard_normal((b, h, sk, d)).astype(np.float32)
+    s = float(max(np.abs(kf).max(), np.abs(vf).max()) / 127.0)
+    kq = np.clip(np.round(kf / s), -127, 127).astype(np.int8)
+    vq = np.clip(np.round(vf / s), -127, 127).astype(np.int8)
+    golden = np.asarray(sdpa_ref(q, kq * s, vq * s, SDPAParams(causal=True)))
+    # ref SDPA offsets queries by sk-sq (decode semantics) — match it
+    out = np.asarray(flash_attention(jnp.asarray(q), jnp.asarray(kq), jnp.asarray(vq),
+                                     causal=True, q_offset=sk - sq, kv_scale=s,
+                                     blk_q=16, blk_k=128, interpret=True))
+    r = verify(out, golden, tol=2e-2, min_cosine=0.9999)
+    assert r.cosine_sim > 0.9999, r

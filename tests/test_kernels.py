@@ -1,0 +1,68 @@
+"""Pallas kernel unit tests (interpret mode on CPU) — the analog of
+tests/unit_test/ (direct kernel calls below the dispatch layer,
+ref: tests/unit_test/gemm.c, conv2d_1x1s1_gemm.c)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from csinn2_tpu.core.quant import BLOCK_SIZE, block_quantize
+from csinn2_tpu.core.dtypes import QuantScheme
+from csinn2_tpu.kernels.qmatmul import quant_matmul, quant_matmul_ref
+from csinn2_tpu.utils.verify import verify
+
+
+@pytest.mark.parametrize("shape", [(16, 64, 32), (8, 256, 128), (33, 96, 72)])
+def test_qmatmul_channel_int8(rng, shape):
+    M, K, N = shape
+    x = rng.standard_normal((M, K)).astype(np.float32)
+    w = rng.integers(-127, 128, size=(K, N)).astype(np.int8)
+    scales = (rng.random((N,)).astype(np.float32) + 0.5) * 0.01
+    bias = rng.standard_normal((N,)).astype(np.float32)
+    golden = np.asarray(quant_matmul_ref(x, w, scales, bias, scale_mode="channel"))
+    out = np.asarray(quant_matmul(x, w, scales, bias, scale_mode="channel",
+                                  bm=8, bn=128, bk=128, interpret=True))
+    r = verify(out, golden, tol=5e-2, min_cosine=0.9999)
+    assert r.cosine_sim > 0.9999, r
+
+
+def test_qmatmul_block_q8(rng):
+    M, K, N = 4, 128, 64
+    x = rng.standard_normal((M, K)).astype(np.float32)
+    wf = rng.standard_normal((N, K)).astype(np.float32) * 0.1
+    bq = block_quantize(wf, QuantScheme.BLOCK_Q8_0)   # [N, K] + scales [N, K/32]
+    w_kn = np.ascontiguousarray(bq.values.T)          # [K, N]
+    s_kn = np.ascontiguousarray(bq.scales.astype(np.float32).T)  # [K/32, N]
+    golden = np.asarray(quant_matmul_ref(x, w_kn, s_kn, scale_mode="block"))
+    out = np.asarray(quant_matmul(x, w_kn, s_kn, scale_mode="block",
+                                  bm=8, bn=64, bk=128, interpret=True))
+    r = verify(out, golden, tol=5e-2, min_cosine=0.999)
+    assert r.cosine_sim > 0.999, r
+    # also vs the true float matmul (quantization Δ only)
+    r2 = verify(out, x @ wf.T, tol=0.5, min_cosine=0.99)
+    assert r2.cosine_sim > 0.99, r2
+
+
+def test_qmatmul_int8_act_exact(rng):
+    """int8 act × int8 weight via bf16 MXU must be integer-exact for small K."""
+    M, K, N = 8, 64, 32
+    xq = rng.integers(-127, 128, size=(M, K)).astype(np.int8)
+    wq = rng.integers(-127, 128, size=(K, N)).astype(np.int8)
+    ones = np.ones((N,), np.float32)
+    out = np.asarray(quant_matmul(jnp.asarray(xq), jnp.asarray(wq), ones,
+                                  scale_mode="channel", bm=8, bn=32, bk=64,
+                                  interpret=True))
+    golden = xq.astype(np.int64) @ wq.astype(np.int64)
+    assert np.array_equal(out.astype(np.int64), golden)
+
+
+def test_qmatmul_epilogue_scale(rng):
+    M, K, N = 8, 32, 32
+    x = rng.standard_normal((M, K)).astype(np.float32)
+    w = rng.integers(-8, 8, size=(K, N)).astype(np.int8)  # int4 range
+    s = np.full((N,), 0.02, np.float32)
+    out = np.asarray(quant_matmul(x, w, s, scale_mode="channel",
+                                  epilogue_scale=0.5, bm=8, bn=32, bk=32,
+                                  interpret=True))
+    golden = (x @ (w.astype(np.float32))) * 0.02 * 0.5
+    assert verify(out, golden, tol=1e-2).passed

@@ -1,0 +1,133 @@
+"""LLM engine tests — the analog of tests/llm/ (correctness via cosine
+similarity of logits vs the float reference, ref: compute_cs,
+tests/llm/llama2.c:23-40) plus the net-new TP sharding on a virtual mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from csinn2_tpu.llm.config import LlamaConfig
+from csinn2_tpu.llm.engine import InferenceEngine
+from csinn2_tpu.llm.model import (
+    FLOAT, INT8_CHANNEL, Q4_0, Q8_0, KVCache, init_params, llama_forward,
+    quantize_params,
+)
+from csinn2_tpu.utils.verify import cosine_similarity, verify
+
+CFG = LlamaConfig.tiny()
+
+
+@pytest.fixture(scope="module")
+def fparams():
+    return init_params(CFG, mode=FLOAT, seed=1)
+
+
+def _prefill_logits(params, tokens, quantized_kv=False):
+    cache = KVCache.create(CFG, batch=1, quantized=quantized_kv)
+    logits, cache = llama_forward(params, jnp.asarray(tokens), cache, 0, CFG,
+                                  use_pallas=False)
+    return np.asarray(logits, np.float32), cache
+
+
+def test_prefill_decode_consistency(fparams):
+    """Decoding token-by-token must match prefilling the whole sequence."""
+    toks = np.array([[3, 7, 11, 19, 5, 2, 9, 4]], np.int32)
+    full, _ = _prefill_logits(fparams, toks)
+    cache = KVCache.create(CFG, batch=1)
+    outs = []
+    for t in range(toks.shape[1]):
+        logits, cache = llama_forward(fparams, jnp.asarray(toks[:, t:t + 1]),
+                                      cache, t, CFG, use_pallas=False)
+        outs.append(np.asarray(logits[:, 0], np.float32))
+    step = np.stack(outs, axis=1)
+    r = verify(step, full, tol=2e-2, min_cosine=0.999)
+    assert r.cosine_sim > 0.999, r
+
+
+@pytest.mark.parametrize("mode,gate", [(INT8_CHANNEL, 0.99), (Q8_0, 0.99), (Q4_0, 0.95)])
+def test_quantized_weights_cosine(fparams, mode, gate):
+    """Weight-only quant must keep logits cosine >= gate vs float
+    (the reference LLM gate, tests/llm/llama2.c:23-40)."""
+    toks = np.array([[3, 7, 11, 19]], np.int32)
+    gold, _ = _prefill_logits(fparams, toks)
+    qp = quantize_params(fparams, mode)
+    got, _ = _prefill_logits(qp, toks)
+    cs = cosine_similarity(got, gold)
+    assert cs >= gate, f"{mode}: cs={cs}"
+
+
+def test_quantized_kv_cache(fparams):
+    toks = np.array([[3, 7, 11, 19, 5, 2]], np.int32)
+    gold, _ = _prefill_logits(fparams, toks)
+    cache = KVCache.create(CFG, batch=1, quantized=True, scale=0.02)
+    logits, cache = llama_forward(fparams, jnp.asarray(toks), cache, 0, CFG,
+                                  use_pallas=False)
+    assert cache.k.dtype == jnp.int8
+    cs = cosine_similarity(np.asarray(logits, np.float32), gold)
+    assert cs >= 0.97, cs
+
+
+def test_engine_generate_greedy(fparams):
+    eng = InferenceEngine(CFG, fparams, batch=1, use_pallas=False)
+    out = eng.generate([3, 7, 11], max_new_tokens=5)
+    assert len(out) == 5
+    assert all(0 <= t < CFG.vocab_size for t in out)
+    # determinism
+    eng2 = InferenceEngine(CFG, fparams, batch=1, use_pallas=False)
+    out2 = eng2.generate([3, 7, 11], max_new_tokens=5)
+    assert out == out2
+
+
+def test_engine_continuous_batching(fparams):
+    """Two slots decode together with different positions; results must match
+    single-slot decoding."""
+    eng = InferenceEngine(CFG, fparams, batch=2, use_pallas=False)
+    l0 = eng.prefill(0, [3, 7, 11])
+    l1 = eng.prefill(1, [5, 2])
+    # step both slots
+    step = eng.decode_step({0: int(np.argmax(l0)), 1: int(np.argmax(l1))})
+    # single-slot reference
+    ref = InferenceEngine(CFG, fparams, batch=1, use_pallas=False)
+    rl0 = ref.prefill(0, [3, 7, 11])
+    rstep = ref.decode_step({0: int(np.argmax(rl0))})
+    cs = cosine_similarity(step[0], rstep[0])
+    assert cs > 0.999, cs
+
+
+def test_tp_sharded_forward_matches_single(fparams):
+    """TP=2 over the virtual CPU mesh must match the single-device forward."""
+    from csinn2_tpu.parallel.mesh import make_mesh
+    from csinn2_tpu.parallel.tp import shard_llama_params, tp_llama_forward
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs >=2 virtual devices")
+    mesh = make_mesh(tp=2, dp=1, devices=devs[:2])
+    toks = np.array([[3, 7, 11, 19]], np.int32)
+    gold, _ = _prefill_logits(fparams, toks)
+
+    sharded = shard_llama_params(fparams, mesh)
+    fwd = tp_llama_forward(mesh, CFG, use_pallas=False)
+    cache = KVCache.create(CFG, batch=1)
+    logits, cache2 = fwd(sharded, jnp.asarray(toks), cache, 0)
+    r = verify(np.asarray(logits, np.float32), gold, tol=2e-2, min_cosine=0.999)
+    assert r.cosine_sim > 0.999, r
+    assert cache2.k.shape == cache.k.shape
+
+
+def test_tp_quantized_weights(fparams):
+    from csinn2_tpu.parallel.mesh import make_mesh
+    from csinn2_tpu.parallel.tp import shard_llama_params, tp_llama_forward
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs >=2 virtual devices")
+    mesh = make_mesh(tp=2, dp=1, devices=devs[:2])
+    qp = quantize_params(fparams, INT8_CHANNEL)
+    toks = np.array([[3, 7, 11, 19]], np.int32)
+    gold, _ = _prefill_logits(qp, toks)
+    sharded = shard_llama_params(qp, mesh)
+    fwd = tp_llama_forward(mesh, CFG, use_pallas=False)
+    cache = KVCache.create(CFG, batch=1)
+    logits, _ = fwd(sharded, jnp.asarray(toks), cache, 0)
+    r = verify(np.asarray(logits, np.float32), gold, tol=2e-2, min_cosine=0.999)
+    assert r.cosine_sim > 0.999, r
