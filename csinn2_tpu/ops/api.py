@@ -100,6 +100,15 @@ def call_op(op: str, tensors: Sequence[Any], params=None,
             break
     cb = registry.lookup(op, scheme=scheme, api=api_pref, metas=metas, params=params)
 
+    # per-op-signature debug printer (ref: SHL_DEBUG_CALL, include/shl_debug.h:32-40)
+    from csinn2_tpu.utils import logging as _log
+    from csinn2_tpu.core.dtypes import DebugLevel as _DL
+    if _log.get_level() <= _DL.DEBUG:
+        _log.debug("%s[%s] %s -> cb=%s",
+                   op, getattr(params, "name", "") or "-",
+                   ",".join(f"{t.dtype.value}{list(t.shape)}" for t in flat),
+                   cb.name)
+
     quantized_direct = cb.quant_direct
 
     def exec_fn(arrays, _flat=tuple(flat), _structure=tuple(structure)):

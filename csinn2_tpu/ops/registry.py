@@ -56,9 +56,12 @@ class OpRegistry:
                api: Api = Api.AUTO, metas=None, params=None) -> OpCallback:
         """Resolve with fallback chain PALLAS → XLA (the rvv→ref analog).
 
-        AUTO prefers the Pallas kernel when its `caps` accepts the shapes."""
+        AUTO prefers the Pallas kernel when its `caps` accepts the shapes.
+        Config-gated keys (the Kconfig CONFIG_*_DISABLED analog) are skipped,
+        forcing the fallback chain."""
+        from csinn2_tpu.utils.config import config
         cands = {}
-        if scheme is not None:
+        if scheme is not None and not config.is_disabled(op, scheme.value):
             cands.update(self._table.get(f"{op}@{scheme.value}", {}))
         base = self._table.get(op, {})
         for k, v in base.items():

@@ -130,9 +130,13 @@ class Session:
 
     def run_benchmark(self, *input_arrays, iters: int = 10, warmup: int = 3):
         """Per-session timing (ref: session-verb wall-clock, setup.c:471-507
-        and SHL_LAYER_BENCHMARK).  Returns seconds/iter."""
-        arrays = [a.data if isinstance(a, Tensor) else jnp.asarray(a)
+        and SHL_LAYER_BENCHMARK).  Returns seconds/iter.
+
+        Inputs are device_put once up front so the loop measures execution,
+        not per-call host→device transfer."""
+        arrays = [jax.device_put(a.data if isinstance(a, Tensor) else jnp.asarray(a))
                   for a in input_arrays]
+        arrays = jax.block_until_ready(arrays)
         for _ in range(warmup):
             jax.block_until_ready(self._compiled(self._consts, *arrays))
         t0 = time.perf_counter()
