@@ -36,6 +36,9 @@ class Node:
     outputs: List[Tensor] = dataclasses.field(default_factory=list)
     name: str = ""
     cb_name: str = ""               # resolved kernel name, for trace attribution
+    device: str = "accel"           # placement for HYBRID partitioning
+                                    # (ref: per-node device/api in subgraph.c
+                                    #  shl_subgraph_get_device :791)
 
     def __repr__(self):
         return f"Node({self.op}:{self.name or id(self) % 9973})"

@@ -58,6 +58,8 @@ class Session:
         self._setup_done = False
         self.trace = None           # runtime/profiler.py Tracer when TRACE level
         self.layer_times: Dict[str, float] = {}   # per-layer benchmark (TIMER)
+        self._hybrid = None         # graph/partition.py HybridExecutor (HYBRID)
+        self._current_device = "accel"   # stamp for recorded nodes
         if profiler_level in (ProfilerLevel.TRACE, ProfilerLevel.ALL):
             from csinn2_tpu.runtime.profiler import Tracer
             self.trace = Tracer(session_name=name)
@@ -84,7 +86,19 @@ class Session:
         """(ref: csinn_set_output)."""
         self.graph.outputs.extend(tensors)
 
+    @contextlib.contextmanager
+    def device_scope(self, device: str):
+        """Place ops recorded inside on `device` ("accel" | "host") — the
+        per-node device tag driving HYBRID partitioning (ref: node-device
+        assignment consumed by shl_subgraph_get_device, subgraph.c:791)."""
+        prev, self._current_device = self._current_device, device
+        try:
+            yield
+        finally:
+            self._current_device = prev
+
     def record(self, node: Node):
+        node.device = self._current_device
         self.graph.add_node(node)
 
     @property
@@ -99,6 +113,17 @@ class Session:
         t0 = time.perf_counter()
         self.graph.topo_check()
         self._consts = self.graph.collect_consts()
+
+        if self.run_mode == RunMode.HYBRID:
+            # host/TPU partitioned execution (ref: CSINN_RM_CPU_BASE_HYBRID
+            # + shl_subgraph_establish, source/graph_ref/subgraph.c:44)
+            from csinn2_tpu.graph.partition import HybridExecutor
+            self._hybrid = HybridExecutor(self.graph, self._consts)
+            self._compiled = lambda consts, *inputs: self._hybrid.run(inputs)
+            self._setup_done = True
+            log.info("%s: hybrid setup, %d subgraphs", self.name,
+                     len(self._hybrid.subgraphs))
+            return self
 
         trace_hook = None
 
