@@ -16,3 +16,4 @@ extra HBM traffic and lower MXU utilization (SURVEY.md §7 step 4 decision).
 """
 
 from csinn2_tpu.kernels.qmatmul import quant_matmul
+from csinn2_tpu.kernels import autodispatch  # noqa: F401  (registers PALLAS cbs)

@@ -18,6 +18,8 @@ class LlamaConfig:
     norm_eps: float = 1e-5
     rope_base: float = 10000.0
     head_dim: int = 0   # 0 → dim // n_heads; stays fixed under TP localization
+    n_experts: int = 0       # 0 → dense FFN; >0 → MoE (net-new vs reference)
+    moe_top_k: int = 2       # experts routed per token
 
     def __post_init__(self):
         if self.head_dim == 0:
@@ -37,3 +39,10 @@ class LlamaConfig:
         """Small config for tests/dryruns."""
         return LlamaConfig(dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
                            ffn_dim=128, vocab_size=vocab, max_seq_len=max_seq)
+
+    @staticmethod
+    def tiny_moe(n_experts: int = 4, vocab: int = 256,
+                 max_seq: int = 128) -> "LlamaConfig":
+        return LlamaConfig(dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+                           ffn_dim=128, vocab_size=vocab, max_seq_len=max_seq,
+                           n_experts=n_experts, moe_top_k=2)

@@ -56,8 +56,16 @@ class QWeight:
 
 def quantize_weight(w: np.ndarray, mode: str) -> QWeight:
     """f32 [K, N] → QWeight (ref: quantize_tensor / shl_block_quantize,
-    llama2_quantize.c:25-115)."""
+    llama2_quantize.c:25-115).  A 3-D input [E, K, N] (stacked MoE experts)
+    quantizes each expert independently and stacks values/scales on axis 0."""
     w = np.asarray(w, np.float32)
+    if w.ndim == 3:
+        parts = [quantize_weight(w[e], mode) for e in range(w.shape[0])]
+        return QWeight(
+            values=jnp.stack([p.values for p in parts]),
+            scales=None if parts[0].scales is None
+            else jnp.stack([p.scales for p in parts]),
+            mode=mode)
     if mode == FLOAT:
         return QWeight(values=jnp.asarray(w, jnp.bfloat16), mode=FLOAT)
     if mode in (INT8_CHANNEL, INT4_CHANNEL):
@@ -147,17 +155,25 @@ def init_params(cfg: LlamaConfig, mode: str = FLOAT, seed: int = 0,
         "layers": [],
     }
     for _ in range(cfg.n_layers):
-        params["layers"].append({
+        lp = {
             "attn_norm": jnp.ones((D,), jnp.float32),
             "ffn_norm": jnp.ones((D,), jnp.float32),
             "wq": quantize_weight(w((D, D)), mode),
             "wk": quantize_weight(w((D, kvd)), mode),
             "wv": quantize_weight(w((D, kvd)), mode),
             "wo": quantize_weight(w((D, D)), mode),
-            "w1": quantize_weight(w((D, F)), mode),
-            "w2": quantize_weight(w((F, D)), mode),
-            "w3": quantize_weight(w((D, F)), mode),
-        })
+        }
+        if cfg.n_experts:
+            E = cfg.n_experts
+            lp["gate"] = jnp.asarray(w((D, E)), jnp.float32)
+            lp["w1"] = quantize_weight(w((E, D, F)), mode)
+            lp["w2"] = quantize_weight(w((E, F, D)), mode)
+            lp["w3"] = quantize_weight(w((E, D, F)), mode)
+        else:
+            lp["w1"] = quantize_weight(w((D, F)), mode)
+            lp["w2"] = quantize_weight(w((F, D)), mode)
+            lp["w3"] = quantize_weight(w((D, F)), mode)
+        params["layers"].append(lp)
     return params
 
 
@@ -314,9 +330,54 @@ def ffn_block(x, layer_params, use_pallas=None, tp_axis: Optional[str] = None):
     return out
 
 
+def _expert_slice(qw: QWeight, e: int) -> QWeight:
+    return QWeight(values=qw.values[e],
+                   scales=None if qw.scales is None else qw.scales[e],
+                   mode=qw.mode)
+
+
+def moe_ffn_block(x, layer_params, cfg: LlamaConfig, use_pallas=None,
+                  ep_axis: Optional[str] = None):
+    """Top-k routed mixture-of-experts SwiGLU FFN (net-new vs reference;
+    SURVEY.md §2 parallelism mandate — EP is the expert-sharding axis).
+
+    Dense no-drop formulation: every (local) expert computes on all tokens
+    and the router weight (0 for unrouted tokens) scales its contribution.
+    For inference batch sizes this wastes FLOPs vs ragged dispatch but is
+    fully static-shaped (XLA-friendly), numerically exact (no capacity
+    dropping), and under EP needs exactly one psum — the same collective
+    budget as the TP FFN.  Each device holds E/ep experts (w1/w2/w3 stacked
+    on axis 0); the gate is replicated."""
+    b, s, D = x.shape
+    E, k = cfg.n_experts, cfg.moe_top_k
+    gate_logits = jnp.einsum("bsd,de->bse", x.astype(jnp.float32),
+                             layer_params["gate"])
+    topv, topi = jax.lax.top_k(gate_logits, k)
+    topw = jax.nn.softmax(topv, axis=-1)                       # [b, s, k]
+    wts = (jax.nn.one_hot(topi, E, dtype=jnp.float32)
+           * topw[..., None]).sum(axis=-2)                      # [b, s, E]
+
+    n_local = layer_params["w1"].values.shape[0]
+    if ep_axis is not None:
+        base = jax.lax.axis_index(ep_axis) * n_local
+        wts = jax.lax.dynamic_slice_in_dim(wts, base, n_local, axis=2)
+
+    out = jnp.zeros((b, s, D), jnp.float32)
+    for le in range(n_local):
+        h1 = linear(x, _expert_slice(layer_params["w1"], le), use_pallas=use_pallas)
+        h3 = linear(x, _expert_slice(layer_params["w3"], le), use_pallas=use_pallas)
+        h = (jax.nn.silu(h1) * h3).astype(jnp.bfloat16)
+        y = linear(h, _expert_slice(layer_params["w2"], le), use_pallas=use_pallas)
+        out = out + wts[..., le:le + 1] * y.astype(jnp.float32)
+    if ep_axis is not None:
+        out = jax.lax.psum(out, ep_axis)
+    return out
+
+
 def llama_forward(params, tokens, cache: KVCache, pos, cfg: LlamaConfig,
                   use_pallas: Optional[bool] = None,
-                  tp_axis: Optional[str] = None) -> Tuple[Any, KVCache]:
+                  tp_axis: Optional[str] = None,
+                  ep_axis: Optional[str] = None) -> Tuple[Any, KVCache]:
     """tokens [b, s] int32, pos scalar (dynamic) → (logits [b, s, V], cache').
 
     One fused jit-able function for both prefill (s=seq) and decode (s=1) —
@@ -330,8 +391,12 @@ def llama_forward(params, tokens, cache: KVCache, pos, cfg: LlamaConfig,
                                           pos, cfg, use_pallas, tp_axis)
         x = x + attn_out.astype(x.dtype)
         h = rms_norm(x, lp["ffn_norm"], cfg.norm_eps)
-        x = x + ffn_block(h.astype(jnp.bfloat16), lp, use_pallas,
-                          tp_axis).astype(x.dtype)
+        if "gate" in lp:
+            ffn_out = moe_ffn_block(h.astype(jnp.bfloat16), lp, cfg,
+                                    use_pallas, ep_axis)
+        else:
+            ffn_out = ffn_block(h.astype(jnp.bfloat16), lp, use_pallas, tp_axis)
+        x = x + ffn_out.astype(x.dtype)
     x = rms_norm(x, params["norm"], cfg.norm_eps)
     logits = linear(x.astype(jnp.bfloat16), params["output"], use_pallas=use_pallas)
     if tp_axis is not None:

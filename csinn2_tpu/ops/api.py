@@ -593,3 +593,79 @@ def fsmn(frame, l_filter, r_filter, frame_sequence, frame_counter,
          params: P.FSMNParams, out_qinfo=None):
     return call_op("fsmn", [frame, l_filter, r_filter, frame_sequence, frame_counter],
                    params, out_qinfo)
+
+
+# --- detection / nd / strided-reduce surface (ref: csi_nn.h csinn_roi_align,
+# csinn_psroipooling, csinn_proposal, csinn_space_to_batch_nd,
+# csinn_batch_to_space_nd, csinn_arange, csinn_mean/min stride variants,
+# csinn_unsorted_segment_*, csinn_data_convert) -------------------------------
+
+def roialign(x, rois, params: P.RoiAlignParams = None, out_qinfo=None):
+    return call_op("roialign", [x, rois], params or P.RoiAlignParams(), out_qinfo)
+
+
+def psroipooling(x, rois, params: P.PSROIPoolingParams = None, out_qinfo=None):
+    return call_op("psroipooling", [x, rois], params or P.PSROIPoolingParams(), out_qinfo)
+
+
+def proposal(cls_prob, bbox_pred, im_info, params: P.ProposalParams = None, out_qinfo=None):
+    return call_op("proposal", [cls_prob, bbox_pred, im_info],
+                   params or P.ProposalParams(), out_qinfo)
+
+
+def arange(params: P.ArangeParams, out_qinfo=None):
+    return call_op("arange", [], params, out_qinfo)
+
+
+def space_to_batch_nd(x, params: P.SpaceToBatchNdParams, out_qinfo=None):
+    return call_op("space_to_batch_nd", [x], params, out_qinfo)
+
+
+def batch_to_space_nd(x, params: P.SpaceToBatchNdParams, out_qinfo=None):
+    return call_op("batch_to_space_nd", [x], params, out_qinfo)
+
+
+def mean_stride(x, params: P.StridedReduceParams, out_qinfo=None):
+    return call_op("mean_stride", [x], params, out_qinfo)
+
+
+def min_stride(x, params: P.StridedReduceParams, out_qinfo=None):
+    return call_op("min_stride", [x], params, out_qinfo)
+
+
+def deconv3d(x, weight, bias=None, params: P.Conv3dParams = None, out_qinfo=None):
+    return call_op("deconv3d", [x, weight, bias], params or P.Conv3dParams(), out_qinfo)
+
+
+def depthwise_conv1d(x, weight, bias=None, params: P.Conv1dParams = None, out_qinfo=None):
+    return call_op("depthwise_conv1d", [x, weight, bias], params or P.Conv1dParams(), out_qinfo)
+
+
+def group_conv1d(x, weight, bias=None, params: P.Conv1dParams = None, out_qinfo=None):
+    return call_op("group_conv1d", [x, weight, bias], params or P.Conv1dParams(), out_qinfo)
+
+
+def depthwise_deconv2d(x, weight, bias=None, params: P.Deconv2dParams = None, out_qinfo=None):
+    return call_op("depthwise_deconv2d", [x, weight, bias],
+                   params or P.Deconv2dParams(), out_qinfo)
+
+
+def group_deconv2d(x, weight, bias=None, params: P.Deconv2dParams = None, out_qinfo=None):
+    return call_op("group_deconv2d", [x, weight, bias],
+                   params or P.Deconv2dParams(), out_qinfo)
+
+
+for _op in ["unsorted_segment_sum", "unsorted_segment_max", "unsorted_segment_min",
+            "unsorted_segment_prod", "unsorted_segment_mean"]:
+    def _mk(_o):
+        def fn(x, segment_ids, params: P.SegmentParams, out_qinfo=None):
+            return call_op(_o, [x, segment_ids], params, out_qinfo)
+        fn.__name__ = _o
+        return fn
+    globals()[_op] = _mk(_op)
+
+
+def data_convert(x, params=None, out_qinfo=None):
+    """Dtype/quant-scheme conversion as a graph op (ref: CSINN_OP_DATA_CONVERT,
+    shl_rvv data_convert kernels): dequant→requant into out_qinfo."""
+    return call_op("data_convert", [x], params, out_qinfo)

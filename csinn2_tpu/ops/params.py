@@ -368,3 +368,65 @@ class SpaceToBatchParams(ParamsBase):
 class BatchToSpaceParams(ParamsBase):
     block_size: int = 2
     crop: Tuple[int, int, int, int] = (0, 0, 0, 0)
+
+
+@dataclasses.dataclass
+class SpaceToBatchNdParams(ParamsBase):
+    """(ref: struct csinn_space_to_batch_nd_params /
+    csinn_batch_to_space_nd_params).  `pads` doubles as crops for the
+    batch_to_space_nd direction; one (before, after) pair per spatial dim."""
+
+    block_shape: Tuple[int, ...] = (2, 2)
+    pads: Tuple[Tuple[int, int], ...] = ((0, 0), (0, 0))
+
+
+@dataclasses.dataclass
+class ArangeParams(ParamsBase):
+    """(ref: struct csinn_arange_params)."""
+
+    start: float = 0.0
+    stop: float = 0.0
+    step: float = 1.0
+
+
+@dataclasses.dataclass
+class RoiAlignParams(ParamsBase):
+    """(ref: struct csinn_roi_align_params)."""
+
+    pooled_size: Tuple[int, int] = (7, 7)
+    spatial_scale: float = 1.0
+    sample_ratio: int = -1
+
+
+@dataclasses.dataclass
+class PSROIPoolingParams(ParamsBase):
+    """(ref: struct csinn_psroipooling_params)."""
+
+    output_dim: int = 1
+    group_size: int = 7
+    spatial_scale: float = 1.0
+
+
+@dataclasses.dataclass
+class ProposalParams(ParamsBase):
+    """RPN proposal (ref: struct csinn_proposal_params, source/reference/proposal.c)."""
+
+    scales: Tuple[float, ...] = (8.0, 16.0, 32.0)
+    ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    feature_stride: int = 16
+    threshold: float = 0.7           # NMS IoU threshold
+    rpn_pre_nms_top_n: int = 6000
+    rpn_post_nms_top_n: int = 300
+    rpn_min_size: int = 16
+
+
+@dataclasses.dataclass
+class StridedReduceParams(ParamsBase):
+    """Generalized strided reduction (ref: csinn_reduce_params
+    out_strides/out_extents/inner_strides/inner_extents fields, used by
+    CSINN_OP_MEAN_STRIDE / MIN_STRIDE, source/reference/mean.c:21-54)."""
+
+    out_strides: Tuple[int, ...] = ()
+    out_extents: Tuple[int, ...] = ()
+    inner_strides: Tuple[int, ...] = ()
+    inner_extents: Tuple[int, ...] = ()

@@ -10,6 +10,7 @@ from csinn2_tpu.ops.ref import (  # noqa: F401
     activation,
     attention,
     conv,
+    detection,
     elementwise,
     linear,
     norm,

@@ -157,3 +157,41 @@ def deconv2d(x, weight, bias, params: Deconv2dParams):
     if bias is not None and jnp.size(bias) > 0:
         out = out + bias[None, :, None, None]
     return out
+
+
+@registry.register("deconv3d", api=Api.XLA)
+def deconv3d(x, weight, bias, params: Conv3dParams):
+    """Transposed 3-D conv (ref: shl_ref_deconv3d_f32).  x: [N,C,D,H,W];
+    weight [I, O/g, kd, kh, kw]; lhs-dilated conv with flipped kernel."""
+    kd, kh, kw = weight.shape[2:]
+    p = params.pad
+    sd, sh, sw = params.stride
+    dd, dh, dw = params.dilation
+    w = jnp.flip(jnp.asarray(weight, jnp.float32), axis=(2, 3, 4))
+    if params.group > 1:
+        ig = weight.shape[0] // params.group
+        wg = w.reshape(params.group, ig, *w.shape[1:])
+        w = jnp.concatenate([jnp.swapaxes(wg[g], 0, 1) for g in range(params.group)],
+                            axis=0)
+    else:
+        w = jnp.swapaxes(w, 0, 1)
+    pads = ((dd * (kd - 1) - p[0], dd * (kd - 1) - p[1]),
+            (dh * (kh - 1) - p[2], dh * (kh - 1) - p[3]),
+            (dw * (kw - 1) - p[4], dw * (kw - 1) - p[5]))
+    out = lax.conv_general_dilated(
+        jnp.asarray(x, jnp.float32), w, window_strides=(1, 1, 1), padding=pads,
+        lhs_dilation=(sd, sh, sw), rhs_dilation=(dd, dh, dw),
+        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+        feature_group_count=params.group, preferred_element_type=jnp.float32)
+    if bias is not None and jnp.size(bias) > 0:
+        out = out + bias[None, :, None, None, None]
+    return out
+
+
+# Grouped / depthwise aliases: the reference registers these as distinct
+# CSINN_OP_* entries (DEPTHWISE_CONV1D, GROUP_CONV1D, DEPTHWISE_DECONV2D,
+# GROUP_DECONV2D); the group count in params carries the semantics here.
+registry.register("depthwise_conv1d", conv1d, api=Api.XLA)
+registry.register("group_conv1d", conv1d, api=Api.XLA)
+registry.register("depthwise_deconv2d", deconv2d, api=Api.XLA)
+registry.register("group_deconv2d", deconv2d, api=Api.XLA)

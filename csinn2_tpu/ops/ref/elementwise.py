@@ -107,3 +107,11 @@ def where_softmax(cond, x, params=None, axis: int = -1):
     (ref: CSINN_OP_WHERE_SOFTMAX, used for attention masks)."""
     masked = jnp.where(jnp.asarray(cond, bool), jnp.asarray(x, _f), -jnp.inf)
     return jax.nn.softmax(masked, axis=axis)
+
+
+@registry.register("data_convert", api=Api.XLA)
+def data_convert(x, params=None):
+    """Identity in float space; the api-layer quant wrapper performs the
+    actual dequant→requant into the requested out_qinfo
+    (ref: CSINN_OP_DATA_CONVERT, source/thead_rvv/*/data_convert.c)."""
+    return jnp.asarray(x)

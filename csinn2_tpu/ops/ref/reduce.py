@@ -8,7 +8,8 @@ import jax
 import jax.numpy as jnp
 
 from csinn2_tpu.core.dtypes import Api
-from csinn2_tpu.ops.params import ArgParams, CumsumParams, ReduceParams, SegmentParams
+from csinn2_tpu.ops.params import (ArgParams, CumsumParams, ReduceParams,
+                                   SegmentParams, StridedReduceParams)
 from csinn2_tpu.ops.registry import registry
 
 _f = jnp.float32
@@ -104,3 +105,44 @@ def segment_mean(x, segment_ids, params: SegmentParams):
     n = jax.ops.segment_sum(jnp.ones(ids.shape, _f), ids, num_segments=params.num_segments)
     n = jnp.reshape(n, (-1,) + (1,) * (s.ndim - 1))
     return s / jnp.maximum(n, 1.0)
+
+
+# Unsorted variants: JAX's segment ops never assume sorted ids, so both
+# CSINN_OP_SEGMENT_* and CSINN_OP_UNSORTED_SEGMENT_* map to one impl
+# (ref: shl_ref_unsorted_segment_*_f32 vs shl_ref_segment_*_f32,
+# source/reference/segment_*.c — the sorted one is just the fast path).
+for _nm in ("sum", "max", "min", "prod", "mean"):
+    registry.register(f"unsorted_segment_{_nm}",
+                      registry.lookup(f"segment_{_nm}", api=Api.XLA).exec,
+                      api=Api.XLA)
+
+
+def _stride_reduce(x, params: StridedReduceParams, reducer):
+    """Generalized strided reduction over explicit (strides, extents) index
+    spaces (ref: shl_ref_mean_stride_f32, source/reference/mean.c:21-54)."""
+    xf = jnp.asarray(x, _f).reshape(-1)
+
+    def flat_index(strides, extents):
+        idx = jnp.zeros((), jnp.int32)
+        grids = jnp.meshgrid(*[jnp.arange(e) for e in extents], indexing="ij") \
+            if extents else [jnp.zeros((1,), jnp.int32)]
+        flat = jnp.zeros(grids[0].size, jnp.int32)
+        for g, s in zip(grids, strides):
+            flat = flat + g.reshape(-1) * s
+        return flat
+
+    out_idx = flat_index(params.out_strides, params.out_extents)
+    inner_idx = flat_index(params.inner_strides, params.inner_extents)
+    vals = xf[out_idx[:, None] + inner_idx[None, :]]
+    out = reducer(vals, axis=1)
+    return out.reshape(params.out_extents) if params.out_extents else out
+
+
+@registry.register("mean_stride", api=Api.XLA)
+def mean_stride(x, params: StridedReduceParams):
+    return _stride_reduce(x, params, jnp.mean)
+
+
+@registry.register("min_stride", api=Api.XLA)
+def min_stride(x, params: StridedReduceParams):
+    return _stride_reduce(x, params, jnp.min)

@@ -12,6 +12,8 @@ from jax import lax
 
 from csinn2_tpu.core.dtypes import Api, Layout
 from csinn2_tpu.ops.params import (
+    ArangeParams,
+    SpaceToBatchNdParams,
     BatchToSpaceParams, BroadcastToParams, ConcatParams, CropParams,
     DepthToSpaceParams, ExpandDimsParams, FlipParams, GatherParams,
     OneHotParams, PadParams, ReshapeParams, ShuffleChannelParams, SliceParams,
@@ -275,3 +277,62 @@ def cast(x, params=None, dtype=jnp.float32):
 def topk(x, params: TopKParams):
     import jax
     return jax.lax.top_k(jnp.asarray(x, _f), params.k)
+
+
+@registry.register("arange", api=Api.XLA)
+def arange(params: ArangeParams):
+    """(ref: shl_ref_arange_f32, source/reference/arange.c)."""
+    return jnp.arange(params.start, params.stop, params.step, dtype=jnp.float32)
+
+
+@registry.register("space_to_batch_nd", api=Api.XLA)
+def space_to_batch_nd(x, params: SpaceToBatchNdParams):
+    """TF-convention ND space→batch: [N, s1..sM, rest] with per-dim padding
+    (ref: shl_gref_space_to_batch_nd_infer_shape — spatial dims follow batch,
+    source/graph_ref/space_to_batch_nd.c)."""
+    x = jnp.asarray(x)
+    m = len(params.block_shape)
+    pads = [(0, 0)] + list(params.pads) + [(0, 0)] * (x.ndim - 1 - m)
+    x = jnp.pad(x, pads)
+    n = x.shape[0]
+    rest = x.shape[1 + m:]
+    # split each spatial dim into (out, block)
+    shape = [n]
+    for i, b in enumerate(params.block_shape):
+        shape += [x.shape[1 + i] // b, b]
+    x = x.reshape(shape + list(rest))
+    # [N, o1,b1, o2,b2, ...] → [b1..bM, N, o1..oM, rest]
+    perm = [2 * i + 2 for i in range(m)] + [0] + [2 * i + 1 for i in range(m)] \
+        + list(range(1 + 2 * m, x.ndim))
+    x = jnp.transpose(x, perm)
+    out_batch = n
+    for b in params.block_shape:
+        out_batch *= b
+    return x.reshape([out_batch] + [s for i, s in enumerate(shape[1::2])] + list(rest))
+
+
+@registry.register("batch_to_space_nd", api=Api.XLA)
+def batch_to_space_nd(x, params: SpaceToBatchNdParams):
+    """Inverse of space_to_batch_nd; params.pads acts as crops
+    (ref: shl_gref_batch_to_space_nd_infer_shape)."""
+    x = jnp.asarray(x)
+    m = len(params.block_shape)
+    block = 1
+    for b in params.block_shape:
+        block *= b
+    n = x.shape[0] // block
+    spatial = x.shape[1:1 + m]
+    rest = x.shape[1 + m:]
+    x = x.reshape(list(params.block_shape) + [n] + list(spatial) + list(rest))
+    # [b1..bM, N, s1..sM, rest] → [N, s1,b1, s2,b2, ..., rest]
+    perm = [m]
+    for i in range(m):
+        perm += [m + 1 + i, i]
+    perm += list(range(2 * m + 1, x.ndim))
+    x = jnp.transpose(x, perm)
+    shape = [n] + [spatial[i] * params.block_shape[i] for i in range(m)] + list(rest)
+    x = x.reshape(shape)
+    idx = [slice(None)]
+    for i, (c0, c1) in enumerate(params.pads):
+        idx.append(slice(c0, shape[1 + i] - c1))
+    return x[tuple(idx)]

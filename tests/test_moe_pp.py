@@ -1,0 +1,104 @@
+"""MoE + expert parallelism + pipeline parallelism tests on the 8-device
+virtual CPU mesh (net-new distribution axes; SURVEY.md §2 parallelism)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+from csinn2_tpu.llm.config import LlamaConfig
+from csinn2_tpu.llm.model import (
+    FLOAT, INT8_CHANNEL, KVCache, init_params, llama_forward, quantize_params,
+)
+from csinn2_tpu.parallel.ep import ep_llama_forward, shard_moe_params
+from csinn2_tpu.parallel.pp import PipelinedLlama
+
+TOKENS = np.array([[3, 1, 4, 1, 5, 9, 2, 6]], np.int32)
+
+
+def test_moe_forward_single_device():
+    cfg = LlamaConfig.tiny_moe(n_experts=4)
+    params = init_params(cfg, mode=FLOAT, seed=0)
+    cache = KVCache.create(cfg, batch=1)
+    logits, cache2 = llama_forward(params, jnp.asarray(TOKENS), cache, 0, cfg,
+                                   use_pallas=False)
+    assert logits.shape == (1, 8, cfg.vocab_size)
+    assert np.isfinite(np.asarray(logits, np.float32)).all()
+    # routing actually mixes experts: different tokens pick different experts
+    # (weak check: forward differs from the 1-expert model's output scale)
+    assert np.std(np.asarray(logits, np.float32)) > 0
+
+
+def test_moe_quantized_close_to_float():
+    cfg = LlamaConfig.tiny_moe(n_experts=4)
+    fp = init_params(cfg, mode=FLOAT, seed=1)
+    qp = quantize_params(fp, INT8_CHANNEL)
+    cache = KVCache.create(cfg, batch=1)
+    lf, _ = llama_forward(fp, jnp.asarray(TOKENS), cache, 0, cfg, use_pallas=False)
+    lq, _ = llama_forward(qp, jnp.asarray(TOKENS), cache, 0, cfg, use_pallas=False)
+    a = np.asarray(lf, np.float32).ravel()
+    b = np.asarray(lq, np.float32).ravel()
+    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
+    assert cos > 0.99, cos
+
+
+@pytest.mark.parametrize("ep", [2, 4])
+def test_ep_matches_single_device(ep):
+    cfg = LlamaConfig.tiny_moe(n_experts=4)
+    params = init_params(cfg, mode=FLOAT, seed=2)
+    cache = KVCache.create(cfg, batch=1)
+    want, _ = llama_forward(params, jnp.asarray(TOKENS), cache, 0, cfg,
+                            use_pallas=False)
+
+    mesh = Mesh(np.array(jax.devices()[:ep]), ("ep",))
+    sharded = shard_moe_params(params, mesh)
+    fwd = ep_llama_forward(mesh, cfg, use_pallas=False)
+    got, cache2 = fwd(sharded, jnp.asarray(TOKENS), cache, 0)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    # decode step with the updated cache still works
+    got2, _ = fwd(sharded, jnp.asarray(TOKENS[:, :1]), cache2, 8)
+    assert np.isfinite(np.asarray(got2, np.float32)).all()
+
+
+@pytest.mark.parametrize("stages,micro", [(2, 1), (4, 2)])
+def test_pp_matches_single_device(stages, micro):
+    cfg = LlamaConfig(dim=64, n_layers=4, n_heads=4, n_kv_heads=2,
+                      ffn_dim=128, vocab_size=256, max_seq_len=64)
+    params = init_params(cfg, mode=FLOAT, seed=3)
+    batch = 2
+    toks = np.tile(TOKENS, (batch, 1))
+    cache = KVCache.create(cfg, batch=batch)
+    want, _ = llama_forward(params, jnp.asarray(toks), cache, 0, cfg,
+                            use_pallas=False)
+
+    pipe = PipelinedLlama(params, cfg, jax.devices()[:stages],
+                          use_pallas=False)
+    caches = pipe.init_caches(batch=batch)
+    got, caches2 = pipe(jnp.asarray(toks), caches, 0, microbatches=micro)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    # decode continues from pipelined caches
+    got2, _ = pipe(jnp.asarray(toks[:, :1]), caches2, 8, microbatches=micro)
+    assert got2.shape == (batch, 1, cfg.vocab_size)
+    assert np.isfinite(np.asarray(got2, np.float32)).all()
+
+
+def test_pp_moe_compose():
+    """PP stages each running MoE layers (pp × moe)."""
+    cfg = LlamaConfig(dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+                      ffn_dim=128, vocab_size=128, max_seq_len=32,
+                      n_experts=2, moe_top_k=1)
+    params = init_params(cfg, mode=FLOAT, seed=4)
+    cache = KVCache.create(cfg, batch=1)
+    want, _ = llama_forward(params, jnp.asarray(TOKENS), cache, 0, cfg,
+                            use_pallas=False)
+    pipe = PipelinedLlama(params, cfg, jax.devices()[:2], use_pallas=False)
+    caches = pipe.init_caches(batch=1)
+    got, _ = pipe(jnp.asarray(TOKENS), caches, 0)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=2e-2, atol=2e-2)
