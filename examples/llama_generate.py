@@ -48,12 +48,20 @@ def main():
     prompt = [1, 5, 9, 13, 21]
 
     t0 = time.perf_counter()
-    out = eng.generate(prompt, max_new_tokens=args.tokens)
+    out = eng.generate_fused(prompt, max_new_tokens=args.tokens)
     print(f"generate {args.tokens} tokens (incl. compile): {time.perf_counter()-t0:.2f}s")
     print(f"tokens: {out}")
 
     tps = eng.benchmark_decode(iters=10, warmup=2)
-    print(f"decode throughput: {tps:.1f} tokens/s")
+    print(f"decode throughput (per-step dispatch): {tps:.1f} tokens/s")
+
+    # fused scan decode: whole completion in one executable
+    n = 64
+    eng.generate_fused(prompt, max_new_tokens=n)   # compile at this length
+    t0 = time.perf_counter()
+    eng.generate_fused(prompt, max_new_tokens=n)
+    dt = time.perf_counter() - t0
+    print(f"decode throughput (fused scan, {n} tok): {n/dt:.1f} tokens/s")
 
     if args.mode != "float":
         feng = InferenceEngine(cfg, fparams, batch=1)

@@ -131,3 +131,20 @@ def test_tp_quantized_weights(fparams):
     logits, _ = fwd(sharded, jnp.asarray(toks), cache, 0)
     r = verify(np.asarray(logits, np.float32), gold, tol=2e-2, min_cosine=0.999)
     assert r.cosine_sim > 0.999, r
+
+
+def test_generate_fused_matches_stepwise(fparams):
+    """lax.scan fused decode must produce the same greedy tokens as the
+    per-step dispatch path."""
+    eng = InferenceEngine(CFG, fparams, batch=1, use_pallas=False)
+    want = eng.generate([3, 7, 11], max_new_tokens=6)
+    eng2 = InferenceEngine(CFG, fparams, batch=1, use_pallas=False)
+    got = eng2.generate_fused([3, 7, 11], max_new_tokens=6)
+    assert got == want, (got, want)
+
+
+def test_generate_fused_quantized_kv(fparams):
+    eng = InferenceEngine(CFG, fparams, batch=1, use_pallas=False,
+                          quantized_kv=True)
+    out = eng.generate_fused([3, 7, 11], max_new_tokens=5)
+    assert len(out) == 5 and all(0 <= t < CFG.vocab_size for t in out)
