@@ -170,6 +170,49 @@ class Session:
         jax.block_until_ready(out)
         return (time.perf_counter() - t0) / iters
 
+    def dump_outputs(self, *input_arrays, out_dir: str = "/tmp/csinn2_tpu_dump"):
+        """Per-layer output dump — the DUMP profiler level (ref:
+        shl_dump_output_tensor invoked per node under
+        CSINN_PROFILER_LEVEL_DUMP, source/graph_ref/setup.c:1358-1372).
+        Writes one .npy per node output; returns {filename: shape}."""
+        import os
+        import numpy as np
+        os.makedirs(out_dir, exist_ok=True)
+        arrays = [jnp.asarray(a.data if isinstance(a, Tensor) else a)
+                  for a in input_arrays]
+
+        taps = [(f"{i:03d}_{n.name}_out{j}", t)
+                for i, n in enumerate(self.graph.nodes)
+                for j, t in enumerate(n.outputs)]
+
+        def fn(consts, *inputs):
+            outs = self.graph.execute(inputs, consts)
+            del outs
+            return None
+
+        # tap every node output by running the graph once with all outputs
+        saved_outputs = list(self.graph.outputs)
+        self.graph.outputs = [t for _, t in taps]
+        try:
+            vals = jax.jit(lambda c, *i: self.graph.execute(i, c))(
+                self._consts or self.graph.collect_consts(), *arrays)
+        finally:
+            self.graph.outputs = saved_outputs
+        written = {}
+        for (name, _), v in zip(taps, vals):
+            path = os.path.join(out_dir, name + ".npy")
+            np.save(path, np.asarray(v))
+            written[name + ".npy"] = tuple(np.asarray(v).shape)
+        return written
+
+    def run_layer_benchmark(self, *input_arrays, iters: int = 5):
+        """Per-layer timing report (ref: SHL_LAYER_BENCHMARK timer loop,
+        source/graph_ref/setup.c:1333-1357)."""
+        from csinn2_tpu.runtime.profiler import LayerBenchmark
+        results = LayerBenchmark(self).run(*input_arrays, iters=iters)
+        self.layer_times = results
+        return results
+
     def update_const(self, tensor: Tensor, new_data):
         """Swap a weight without recompiling (ref: csinn_update_input re-points
         data, source/graph_ref/setup.c:51-56)."""
