@@ -27,11 +27,14 @@ def main():
     rng = np.random.default_rng(0)
     x = rng.random(model.input_shape(1)).astype(np.float32)
 
-    # float32 baseline (same graph executor, no quantization)
+    # float32 baseline (same graph executor, no quantization).
+    # The axon tunnel's RPC latency varies across sessions — take the best of
+    # several measurement reps so the number reflects the hardware, not
+    # transient tunnel congestion.
     t0 = time.time()
     fs = model._float_session(batch=1)
     fs.run(x)  # compile
-    f32_dt = fs.run_benchmark(x, iters=20, warmup=3)
+    f32_dt = min(fs.run_benchmark(x, iters=20, warmup=3) for _ in range(3))
     print(f"# f32: {f32_dt*1e3:.3f} ms/img ({time.time()-t0:.0f}s incl compile)",
           file=sys.stderr)
 
@@ -41,7 +44,7 @@ def main():
     sess = model.build_session(QuantScheme.INT8_SYM)
     xin = model.prepare_input(x, sess)
     sess.run(xin)  # compile
-    int8_dt = sess.run_benchmark(xin, iters=50, warmup=5)
+    int8_dt = min(sess.run_benchmark(xin, iters=50, warmup=5) for _ in range(3))
     print(f"# int8: {int8_dt*1e3:.3f} ms/img ({time.time()-t0:.0f}s incl compile)",
           file=sys.stderr)
 
