@@ -197,7 +197,8 @@ class InferenceEngine:
     # -- benchmarking --------------------------------------------------------
 
     def benchmark_decode(self, iters: int = 20, warmup: int = 3):
-        """tokens/s for a full decode batch (all slots active)."""
+        """tokens/s for a full decode batch (all slots active), host-driven
+        per-step dispatch (includes per-step RPC overhead on remote runtimes)."""
         toks = {i: 1 for i in range(self.batch)}
         for s in self.slots:
             s.pos = max(s.pos, 16)
@@ -208,6 +209,31 @@ class InferenceEngine:
             self.decode_step(toks)
         dt = time.perf_counter() - t0
         return self.batch * iters / dt
+
+    def benchmark_decode_device(self, iters: int = 64, reps: int = 3):
+        """TRUE decode tokens/s: the whole token loop runs on-device
+        (_decode_scan = lax.scan, one executable) and completion is forced by
+        fetching the tokens.  Reported as marginal cost between a long and a
+        short scan so compile, dispatch and transfer cancel out — host
+        timing loops only measure RPC rate on async/tunneled runtimes."""
+        import numpy as np
+        key = jax.random.PRNGKey(0)
+        sub = KVCache(k=self.cache.k[:, 0:1], v=self.cache.v[:, 0:1],
+                      scale=self.cache.scale)
+
+        def run(n):
+            t0 = time.perf_counter()
+            toks, _ = self._decode_scan_fn(
+                self.params, sub, jnp.int32(1), jnp.int32(16), key,
+                n_steps=n, greedy=True, temperature=jnp.float32(1.0))
+            np.asarray(toks)
+            return time.perf_counter() - t0
+
+        base = max(iters // 16, 2)
+        run(base); run(base + iters)          # compile both
+        t_s = min(run(base) for _ in range(reps))
+        t_l = min(run(base + iters) for _ in range(reps))
+        return iters / max(t_l - t_s, 1e-12)
 
 
 def _batched_decode_forward(params, tokens, cache, pos_vec, cfg, use_pallas):

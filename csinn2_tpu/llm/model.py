@@ -177,6 +177,80 @@ def init_params(cfg: LlamaConfig, mode: str = FLOAT, seed: int = 0,
     return params
 
 
+def quantize_weight_jax(w, mode: str) -> QWeight:
+    """In-jit quantize of an f32 [K, N] (or stacked-expert [E, K, N]) array —
+    the device-side mirror of quantize_weight's host math (same rounding,
+    same f16-rounded block scales).  Usable under jit/vmap."""
+    if mode == FLOAT:
+        return QWeight(values=w.astype(jnp.bfloat16), mode=FLOAT)
+    if mode in (INT8_CHANNEL, INT4_CHANNEL):
+        bound = 127.0 if mode == INT8_CHANNEL else 7.0
+        amax = jnp.abs(w).max(axis=-2)                     # per out-channel
+        scale = jnp.where(amax == 0, 1.0, amax / bound)
+        q = jnp.clip(jnp.round(w / scale[..., None, :]), -bound - 1.0, bound)
+        return QWeight(values=q.astype(jnp.int8), scales=scale, mode=mode)
+    if mode in (Q8_0, Q4_0):
+        bound = 127.0 if mode == Q8_0 else 7.0
+        K, N = w.shape[-2], w.shape[-1]
+        lead = w.shape[:-2]
+        wb = w.reshape(*lead, K // BLOCK_SIZE, BLOCK_SIZE, N)
+        amax = jnp.abs(wb).max(axis=-2, keepdims=True)
+        d = (amax / bound).astype(jnp.float16).astype(jnp.float32)
+        q = jnp.where(d == 0, 0.0, jnp.round(wb / jnp.where(d == 0, 1.0, d)))
+        q = jnp.clip(q, -bound, bound).astype(jnp.int8).reshape(*lead, K, N)
+        return QWeight(values=q, scales=d[..., 0, :], mode=mode)
+    raise ValueError(mode)
+
+
+def init_params_device(cfg: LlamaConfig, mode: str = FLOAT, seed: int = 0,
+                       scale: float = 0.02) -> Dict:
+    """Random-init + quantize entirely ON DEVICE: weights come from the JAX
+    PRNG and are quantized inside one jit per (shape, mode), so only a PRNG
+    key crosses the host↔device link.  At 7B scale this takes seconds where
+    the host path (numpy RNG → quantize → transfer ~7 GB) takes minutes —
+    use for benchmarks; real weights load via llm.json_io (the
+    shl_llm_load_json analog, ref: source/llm/llm_json.cpp:38-57)."""
+
+    @functools.partial(jax.jit, static_argnames=("shape", "m"))
+    def gen_q(k, shape, m):
+        return quantize_weight_jax(jax.random.normal(k, shape, jnp.float32) * scale, m)
+
+    key = jax.random.PRNGKey(seed)
+    n_per_layer = 9 if cfg.n_experts else 8
+    keys = iter(jax.random.split(key, 2 + n_per_layer * cfg.n_layers))
+
+    D, F = cfg.dim, cfg.ffn_dim
+    kvd = cfg.n_kv_heads * cfg.head_dim
+    params = {
+        "tok_embedding": (jax.random.normal(next(keys), (cfg.vocab_size, D),
+                                            jnp.float32) * scale).astype(jnp.bfloat16),
+        "norm": jnp.ones((D,), jnp.float32),
+        "output": gen_q(next(keys), (D, cfg.vocab_size), mode),
+        "layers": [],
+    }
+    for _ in range(cfg.n_layers):
+        lp = {
+            "attn_norm": jnp.ones((D,), jnp.float32),
+            "ffn_norm": jnp.ones((D,), jnp.float32),
+            "wq": gen_q(next(keys), (D, D), mode),
+            "wk": gen_q(next(keys), (D, kvd), mode),
+            "wv": gen_q(next(keys), (D, kvd), mode),
+            "wo": gen_q(next(keys), (D, D), mode),
+        }
+        if cfg.n_experts:
+            E = cfg.n_experts
+            lp["gate"] = jax.random.normal(next(keys), (D, E), jnp.float32) * scale
+            lp["w1"] = gen_q(next(keys), (E, D, F), mode)
+            lp["w2"] = gen_q(next(keys), (E, F, D), mode)
+            lp["w3"] = gen_q(next(keys), (E, D, F), mode)
+        else:
+            lp["w1"] = gen_q(next(keys), (D, F), mode)
+            lp["w2"] = gen_q(next(keys), (F, D), mode)
+            lp["w3"] = gen_q(next(keys), (D, F), mode)
+        params["layers"].append(lp)
+    return params
+
+
 def quantize_params(params: Dict, mode: str) -> Dict:
     """Requantize a float params pytree to `mode` (ref: shl_block_quantize over
     all blocks, llama2_quantize.c:91-115)."""

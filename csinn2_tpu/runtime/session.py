@@ -29,6 +29,7 @@ from typing import Any, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from csinn2_tpu.core.dtypes import Api, Dtype, ProfilerLevel, RunMode
 from csinn2_tpu.core.tensor import Tensor, TensorMeta
@@ -154,11 +155,12 @@ class Session:
         return out
 
     def run_benchmark(self, *input_arrays, iters: int = 10, warmup: int = 3):
-        """Per-session timing (ref: session-verb wall-clock, setup.c:471-507
-        and SHL_LAYER_BENCHMARK).  Returns seconds/iter.
+        """Host-loop dispatch-rate timing (ref: session-verb wall-clock,
+        setup.c:471-507).  Returns seconds/iter.
 
-        Inputs are device_put once up front so the loop measures execution,
-        not per-call host→device transfer."""
+        CAUTION: on remote/tunneled accelerators block_until_ready may return
+        before the device finishes, so this measures dispatch throughput, not
+        execution — use run_benchmark_device for honest device time."""
         arrays = [jax.device_put(a.data if isinstance(a, Tensor) else jnp.asarray(a))
                   for a in input_arrays]
         arrays = jax.block_until_ready(arrays)
@@ -169,6 +171,53 @@ class Session:
             out = self._compiled(self._consts, *arrays)
         jax.block_until_ready(out)
         return (time.perf_counter() - t0) / iters
+
+    def run_benchmark_device(self, *input_arrays, iters: int = 50,
+                             reps: int = 3) -> float:
+        """TRUE per-run device time: execute the graph `iters` times inside
+        ONE executable (lax.fori_loop) and force completion by fetching a
+        scalar to the host.  Reported as the marginal cost between a long and
+        a short loop, so per-dispatch overhead and the final transfer cancel.
+
+        Each input is staged twice and the body indexes the pair by i%2, so
+        the body is iteration-dependent and cannot be hoisted out of the loop
+        (a +0-style data dependence folds away for integer dtypes — XLA then
+        LICMs the whole graph and the loop measures nothing).
+        This replaces the reference's warm-up+timer loop (setup.c:1333-1357),
+        which assumes synchronous execution — untrue on an async/remote
+        accelerator, where a host-side timing loop measures only dispatch."""
+        assert self._setup_done, "call setup() first"
+        if self._hybrid is not None:     # host subgraphs can't run in-loop
+            return self.run_benchmark(*input_arrays, iters=iters)
+        arrays = [jax.device_put(jnp.stack([d, d]))
+                  for d in (a.data if isinstance(a, Tensor) else jnp.asarray(a)
+                            for a in input_arrays)]
+        arrays = jax.block_until_ready(arrays)
+        consts = self._consts
+
+        def looped(n, consts, *staged):
+            def body(i, acc):
+                ins = [jax.lax.dynamic_index_in_dim(s, i % 2, 0, keepdims=False)
+                       for s in staged]
+                outs = self.graph.execute(tuple(ins), consts)
+                upd = sum(jnp.sum(o.reshape(-1)[:8].astype(jnp.float32))
+                          for o in outs)
+                return acc + upd
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        jfn = jax.jit(looped, static_argnums=0)
+        base = max(iters // 16, 1)
+
+        def fetch(n):
+            t0 = time.perf_counter()
+            float(np.asarray(jfn(n, consts, *arrays)))
+            return time.perf_counter() - t0
+
+        fetch(base)            # compile short
+        fetch(base + iters)    # compile long
+        t_short = min(fetch(base) for _ in range(reps))
+        t_long = min(fetch(base + iters) for _ in range(reps))
+        return max(t_long - t_short, 1e-12) / iters
 
     def dump_outputs(self, *input_arrays, out_dir: str = "/tmp/csinn2_tpu_dump"):
         """Per-layer output dump — the DUMP profiler level (ref:

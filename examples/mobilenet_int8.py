@@ -53,8 +53,8 @@ def main():
     out = sess.run(xin)
     print(f"first run (compile): {time.perf_counter()-t0:.2f}s")
 
-    dt = sess.run_benchmark(xin, iters=args.iters)
-    print(f"steady-state: {dt*1e3:.2f} ms/img  ({1.0/dt:.1f} img/s)")
+    dt = sess.run_benchmark_device(xin, iters=max(args.iters, 16))
+    print(f"steady-state (device loop): {dt*1e3:.2f} ms/img  ({1.0/dt:.1f} img/s)")
 
     raw = np.asarray(out)
     print(f"raw output: dtype={raw.dtype} min={raw.min()} max={raw.max()}")

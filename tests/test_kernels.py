@@ -66,3 +66,40 @@ def test_qmatmul_epilogue_scale(rng):
                                   interpret=True))
     golden = (x @ (w.astype(np.float32))) * 0.02 * 0.5
     assert verify(out, golden, tol=1e-2).passed
+
+
+def test_qconv_int8_asym_zp_exact(rng):
+    """Integer-MXU conv path (s8×s8→s32) with a nonzero activation
+    zero-point: the zp-pad + zp·Σw correction must be EXACT integer math,
+    including windows overlapping the padding."""
+    import torch
+    import torch.nn.functional as F
+    from csinn2_tpu import ops
+    from csinn2_tpu.core.dtypes import Dtype, Layout, QuantScheme
+    from csinn2_tpu.core.quant import QuantInfo
+    from csinn2_tpu.core.tensor import Tensor
+
+    for group, stride in [(1, 1), (1, 2), (8, 1)]:
+        n, cin, h, w_, cout, k = 1, 8, 9, 9, (8 if group == 8 else 12), 3
+        xq = rng.integers(-128, 128, (n, cin, h, w_)).astype(np.int8)
+        wq = rng.integers(-127, 128, (cout, cin // group, k, k)).astype(np.int8)
+        sx, zx = 0.037, 7
+        sw = (rng.random(cout) * 0.02 + 0.01).astype(np.float32)
+        x_qi = QuantInfo(scale=sx, zero_point=zx, dtype=Dtype.INT8,
+                         scheme=QuantScheme.INT8_ASYM)
+        w_qi = QuantInfo(scale=sw, zero_point=np.zeros(cout, np.int32),
+                         dtype=Dtype.INT8, axis=0, scheme=QuantScheme.INT8_ASYM)
+
+        params = ops.Conv2dParams(stride=(stride, stride), pad=(1, 1, 1, 1),
+                                  group=group, layout=Layout.NCHW)
+        out = ops.conv2d(Tensor(xq, qinfo=x_qi), Tensor(wq, qinfo=w_qi),
+                         None, params)
+
+        # float64 conv of exact integers == integer conv (cast BEFORE the
+        # subtraction — int8 - zp would wrap around)
+        acc = F.conv2d(torch.tensor(xq.astype(np.float64) - zx),
+                       torch.tensor(wq.astype(np.float64)), stride=stride,
+                       padding=1, groups=group).numpy()
+        golden = acc * (sx * sw.reshape(1, -1, 1, 1))
+        np.testing.assert_allclose(np.asarray(out.data, np.float64), golden,
+                                   rtol=1e-5, atol=1e-4)

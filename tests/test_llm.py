@@ -148,3 +148,38 @@ def test_generate_fused_quantized_kv(fparams):
                           quantized_kv=True)
     out = eng.generate_fused([3, 7, 11], max_new_tokens=5)
     assert len(out) == 5 and all(0 <= t < CFG.vocab_size for t in out)
+
+
+@pytest.mark.parametrize("mode", ["int8", "int4", "q8_0", "q4_0", "float"])
+def test_device_quantize_matches_host(mode, rng):
+    """quantize_weight_jax (in-jit, device-side init path) must reproduce
+    quantize_weight's host math bit-for-bit — values, scales, f16 block-scale
+    rounding — for 2-D and stacked-expert 3-D weights."""
+    from csinn2_tpu.llm.model import quantize_weight, quantize_weight_jax
+    for shape in [(64, 48), (2, 64, 48)]:
+        w = (rng.standard_normal(shape) * 0.1).astype(np.float32)
+        host = quantize_weight(w, mode)
+        dev = jax.jit(quantize_weight_jax, static_argnames="mode")(
+            jnp.asarray(w), mode=mode)
+        # channel modes: XLA rewrites x/127 as x·(1/127) — 1 ulp on the scale,
+        # which can flip a rounded carrier at exact-tie points (≤1 LSB)
+        np.testing.assert_allclose(np.asarray(host.values, np.int32),
+                                   np.asarray(dev.values, np.int32), atol=1)
+        if host.scales is None:
+            assert dev.scales is None
+        else:
+            np.testing.assert_allclose(np.asarray(host.scales),
+                                       np.asarray(dev.scales), rtol=3e-7)
+        assert host.mode == dev.mode == mode
+
+
+def test_init_params_device_structure():
+    """Device init builds the same pytree structure as the host init and the
+    engine can decode from it."""
+    from csinn2_tpu.llm.model import init_params_device
+    params = init_params_device(CFG, mode=Q8_0, seed=0)
+    host = init_params(CFG, mode=Q8_0, seed=0)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(host)
+    eng = InferenceEngine(CFG, params, batch=1, quantized_kv=True)
+    out = eng.generate([1, 2, 3], max_new_tokens=4)
+    assert len(out) == 4

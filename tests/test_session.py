@@ -120,3 +120,24 @@ def test_tracer_chrome_json(tmp_path):
     doc = json.load(open(p))
     phases = {e["ph"] for e in doc["traceEvents"]}
     assert {"X", "i", "C"} <= phases
+
+
+def test_run_benchmark_device(rng):
+    """Device-loop benchmark executes the graph and returns a sane positive
+    marginal time (host-loop timing is dispatch-rate only on async runtimes)."""
+    from csinn2_tpu import ops
+    from csinn2_tpu.core.dtypes import Dtype, RunMode
+    from csinn2_tpu.core.tensor import TensorMeta
+    from csinn2_tpu.runtime.session import Session
+
+    sess = Session(run_mode=RunMode.GRAPH, name="bench_dev")
+    w = rng.standard_normal((64, 64)).astype(np.float32)
+    with sess.build():
+        x = sess.input(TensorMeta(shape=(8, 64), dtype=Dtype.FLOAT32, name="x"))
+        y = ops.fullyconnected(x, Tensor(w), None, ops.FCParams(units=64))
+        y = ops.relu(y)
+        sess.set_output(y)
+    sess.setup()
+    xin = rng.standard_normal((8, 64)).astype(np.float32)
+    dt = sess.run_benchmark_device(xin, iters=16, reps=2)
+    assert 0 < dt < 1.0
