@@ -51,8 +51,14 @@ class InferenceEngine:
 
     def __init__(self, cfg: LlamaConfig, params, batch: int = 1,
                  quantized_kv: bool = False, kv_scale: float = 0.05,
-                 use_pallas: Optional[bool] = None):
+                 use_pallas: Optional[bool] = None, fuse_weights: bool = True):
         self.cfg = cfg
+        if fuse_weights:
+            # one dequant-GEMM for q|k|v and one for w1|w3: at decode each
+            # Pallas launch has a fixed pipeline-warmup cost, so 7→4 matmuls
+            # per layer is a direct tokens/s win
+            from csinn2_tpu.llm.model import fuse_params
+            params = fuse_params(params)
         self.params = params
         self.batch = batch
         self.use_pallas = use_pallas
@@ -64,8 +70,9 @@ class InferenceEngine:
 
         @functools.partial(jax.jit, static_argnames=("s",))
         def _prefill(params, cache, tokens, pos, s):
+            bound = min(-(-s // 256) * 256, cfg_static.max_seq_len)
             logits, cache = llama_forward(params, tokens, cache, pos, cfg_static,
-                                          use_pallas)
+                                          use_pallas, kv_bound=bound)
             return logits, cache
 
         @jax.jit
@@ -82,9 +89,10 @@ class InferenceEngine:
         self._prefill_fn = _prefill
         self._decode_fn = _decode
 
-        @functools.partial(jax.jit, static_argnames=("n_steps", "greedy"))
+        @functools.partial(jax.jit,
+                           static_argnames=("n_steps", "greedy", "kv_bound"))
         def _decode_scan(params, cache, first_tok, pos0, key, n_steps,
-                         greedy, temperature):
+                         greedy, temperature, kv_bound=None):
             """Generate n_steps tokens in ONE executable: lax.scan carries
             (token, pos, cache, rng) and samples on-device.  This is the
             TPU-native inversion of the reference's decode loop (34 session
@@ -93,7 +101,8 @@ class InferenceEngine:
             def body(carry, _):
                 tok, pos, cache, key = carry
                 logits, cache = llama_forward(params, tok.reshape(1, 1), cache,
-                                              pos, cfg_static, use_pallas)
+                                              pos, cfg_static, use_pallas,
+                                              kv_bound=kv_bound)
                 lg = logits[0, 0].astype(jnp.float32)
                 key, sub = jax.random.split(key)
                 nxt = jnp.where(
@@ -174,10 +183,13 @@ class InferenceEngine:
         first = self._sample(logits, temperature, rng)
         sub = KVCache(k=self.cache.k[:, 0:1], v=self.cache.v[:, 0:1],
                       scale=self.cache.scale)
+        bound = min(-(-(self.slots[0].pos + max_new_tokens) // 256) * 256,
+                    self.cfg.max_seq_len)
         toks, sub = self._decode_scan_fn(
             self.params, sub, jnp.int32(first), jnp.int32(self.slots[0].pos),
             jax.random.PRNGKey(seed), n_steps=max_new_tokens - 1,
-            greedy=temperature <= 0, temperature=jnp.float32(max(temperature, 1e-6)))
+            greedy=temperature <= 0, temperature=jnp.float32(max(temperature, 1e-6)),
+            kv_bound=bound)
         self.cache = KVCache(k=self.cache.k.at[:, 0:1].set(sub.k),
                              v=self.cache.v.at[:, 0:1].set(sub.v),
                              scale=self.cache.scale)
@@ -225,7 +237,8 @@ class InferenceEngine:
             t0 = time.perf_counter()
             toks, _ = self._decode_scan_fn(
                 self.params, sub, jnp.int32(1), jnp.int32(16), key,
-                n_steps=n, greedy=True, temperature=jnp.float32(1.0))
+                n_steps=n, greedy=True, temperature=jnp.float32(1.0),
+                kv_bound=min(-(-(16 + n) // 256) * 256, self.cfg.max_seq_len))
             np.asarray(toks)
             return time.perf_counter() - t0
 
@@ -272,9 +285,15 @@ def _batched_decode_forward(params, tokens, cache, pos_vec, cfg, use_pallas):
     D = cfg.dim
     for i, lp in enumerate(params["layers"]):
         h = rms_norm(x, lp["attn_norm"], cfg.norm_eps).astype(jnp.bfloat16)
-        q = linear(h, lp["wq"], use_pallas=use_pallas).reshape(b, 1, hq, dh)
-        k = linear(h, lp["wk"], use_pallas=use_pallas).reshape(b, 1, hk, dh)
-        v = linear(h, lp["wv"], use_pallas=use_pallas).reshape(b, 1, hk, dh)
+        if "wqkv" in lp:
+            qkv = linear(h, lp["wqkv"], use_pallas=use_pallas)
+            q = qkv[..., :hq * dh].reshape(b, 1, hq, dh)
+            k = qkv[..., hq * dh:(hq + hk) * dh].reshape(b, 1, hk, dh)
+            v = qkv[..., (hq + hk) * dh:].reshape(b, 1, hk, dh)
+        else:
+            q = linear(h, lp["wq"], use_pallas=use_pallas).reshape(b, 1, hq, dh)
+            k = linear(h, lp["wk"], use_pallas=use_pallas).reshape(b, 1, hk, dh)
+            v = linear(h, lp["wv"], use_pallas=use_pallas).reshape(b, 1, hk, dh)
         q = rope_rotate(q, pos_vec[:, None], cfg.rope_base)
         k = rope_rotate(k, pos_vec[:, None], cfg.rope_base)
         cache = store_rows(cache, i, k, v)
@@ -300,8 +319,13 @@ def _batched_decode_forward(params, tokens, cache, pos_vec, cfg, use_pallas):
         x = x + linear(attn, lp["wo"], use_pallas=use_pallas).astype(x.dtype)
 
         h = rms_norm(x, lp["ffn_norm"], cfg.norm_eps).astype(jnp.bfloat16)
-        h1 = linear(h, lp["w1"], use_pallas=use_pallas)
-        h3 = linear(h, lp["w3"], use_pallas=use_pallas)
+        if "w13" in lp:
+            h13 = linear(h, lp["w13"], use_pallas=use_pallas)
+            Fd = h13.shape[-1] // 2
+            h1, h3 = h13[..., :Fd], h13[..., Fd:]
+        else:
+            h1 = linear(h, lp["w1"], use_pallas=use_pallas)
+            h3 = linear(h, lp["w3"], use_pallas=use_pallas)
         hsw = (jax.nn.silu(h1) * h3).astype(jnp.bfloat16)
         x = x + linear(hsw, lp["w2"], use_pallas=use_pallas).astype(x.dtype)
 

@@ -33,7 +33,7 @@ def _flatten(params) -> Tuple[Dict[str, np.ndarray], Dict[str, str]]:
             arrays[key + ".values"] = np.asarray(val.values)
             if val.scales is not None:
                 arrays[key + ".scales"] = np.asarray(val.scales)
-            modes[key] = val.mode
+            modes[key] = f"{val.mode}:packed" if val.packed else val.mode
         else:
             arrays[key] = np.asarray(val)
 
@@ -69,11 +69,12 @@ def load_llm(path: str) -> Tuple[LlamaConfig, dict]:
         # np.array copies out of the mmap: jnp.asarray on CPU may alias the
         # buffer zero-copy, which dies when the file is munmap'd below.
         if key in modes:
-            mode = modes[key]
+            mode, _, flag = modes[key].partition(":")
             vals = jnp.asarray(np.array(arrays[key + ".values"]))
             scales = (jnp.asarray(np.array(arrays[key + ".scales"]))
                       if key + ".scales" in arrays else None)
-            return QWeight(values=vals, scales=scales, mode=mode)
+            return QWeight(values=vals, scales=scales, mode=mode,
+                           packed=flag == "packed")
         return jnp.asarray(np.array(arrays[key]))
 
     params = {

@@ -38,19 +38,25 @@ class QWeight:
     """[K, N] weight in one of the quant modes (ref: shl_block_quantize
     target layouts, source/llm/llama2_quantize.c:25-115)."""
 
-    values: Any                 # bf16 [K,N] (float) | int8 [K,N]
+    values: Any                 # bf16 [K,N] (float) | int8 [K,N] | packed [K/2,N]
     scales: Any = None          # None | f32 [N] | f32 [K/32, N]
     mode: str = FLOAT
+    packed: bool = False        # int4 nibble-packed values (2 weights/byte)
 
     def tree_flatten(self):
-        return (self.values, self.scales), self.mode
+        return (self.values, self.scales), (self.mode, self.packed)
 
     @classmethod
-    def tree_unflatten(cls, mode, children):
-        return cls(values=children[0], scales=children[1], mode=mode)
+    def tree_unflatten(cls, aux, children):
+        mode, packed = aux if isinstance(aux, tuple) else (aux, False)
+        return cls(values=children[0], scales=children[1], mode=mode,
+                   packed=packed)
 
     @property
     def shape(self):
+        if self.packed:
+            v = self.values.shape
+            return (2 * v[-2],) if len(v) == 1 else v[:-2] + (2 * v[-2], v[-1])
         return self.values.shape
 
 
@@ -65,7 +71,7 @@ def quantize_weight(w: np.ndarray, mode: str) -> QWeight:
             values=jnp.stack([p.values for p in parts]),
             scales=None if parts[0].scales is None
             else jnp.stack([p.scales for p in parts]),
-            mode=mode)
+            mode=mode, packed=parts[0].packed)
     if mode == FLOAT:
         return QWeight(values=jnp.asarray(w, jnp.bfloat16), mode=FLOAT)
     if mode in (INT8_CHANNEL, INT4_CHANNEL):
@@ -73,7 +79,8 @@ def quantize_weight(w: np.ndarray, mode: str) -> QWeight:
         amax = np.abs(w).max(axis=0)                      # per out-channel
         scale = np.where(amax == 0, 1.0, amax / bound).astype(np.float32)
         q = np.clip(np.round(w / scale), -bound - 1, bound).astype(np.int8)
-        return QWeight(values=jnp.asarray(q), scales=jnp.asarray(scale), mode=mode)
+        return _maybe_pack(QWeight(values=jnp.asarray(q),
+                                   scales=jnp.asarray(scale), mode=mode))
     if mode in (Q8_0, Q4_0):
         K, N = w.shape
         assert K % BLOCK_SIZE == 0
@@ -83,9 +90,56 @@ def quantize_weight(w: np.ndarray, mode: str) -> QWeight:
         d = (amax / bound).astype(np.float16).astype(np.float32)  # f16-rounded scale
         q = np.where(d == 0, 0.0, np.round(wb / np.where(d == 0, 1.0, d)))
         q = np.clip(q, -bound, bound).astype(np.int8).reshape(K, N)
-        return QWeight(values=jnp.asarray(q),
-                       scales=jnp.asarray(d[:, 0, :], jnp.float32), mode=mode)
+        return _maybe_pack(QWeight(values=jnp.asarray(q),
+                                   scales=jnp.asarray(d[:, 0, :], jnp.float32),
+                                   mode=mode))
     raise ValueError(mode)
+
+
+def _maybe_pack(qw: QWeight) -> QWeight:
+    """int4 modes: nibble-pack the carrier (2 weights/byte — HALF the HBM
+    bytes per decode token, which is the entire point of int4 over int8; the
+    reference's Q4_0 blocks are packed the same way,
+    ref: block_dequantize_q4, source/nn2/utils.c:2079)."""
+    from csinn2_tpu.kernels.qmatmul import pack_int4
+    if qw.mode not in (INT4_CHANNEL, Q4_0) or qw.packed:
+        return qw
+    K = qw.values.shape[-2]
+    if K % BLOCK_SIZE != 0:
+        return qw                  # odd K: keep the unpacked carrier
+    return QWeight(values=pack_int4(qw.values), scales=qw.scales,
+                   mode=qw.mode, packed=True)
+
+
+def qweight_concat(qws) -> QWeight:
+    """Concatenate QWeights along the output (N) axis — same K/mode/packing.
+    Used to fuse wq|wk|wv and w1|w3 into single dequant-GEMMs: at decode the
+    per-kernel launch + pipeline-warmup cost is paid once per fused matmul,
+    and the DMA streams one bigger weight instead of several small ones."""
+    m0 = qws[0]
+    assert all(q.mode == m0.mode and q.packed == m0.packed for q in qws)
+    vals = jnp.concatenate([q.values for q in qws], axis=-1)
+    scales = None if m0.scales is None else jnp.concatenate(
+        [q.scales for q in qws], axis=-1)
+    return QWeight(values=vals, scales=scales, mode=m0.mode, packed=m0.packed)
+
+
+def fuse_layer_weights(lp: Dict) -> Dict:
+    """Derived per-layer weights: wqkv = [wq|wk|wv], w13 = [w1|w3]
+    (dense FFN only).  attention_block/ffn_block use them when present."""
+    out = dict(lp)
+    if all(k in lp for k in ("wq", "wk", "wv")):
+        out["wqkv"] = qweight_concat([lp["wq"], lp["wk"], lp["wv"]])
+        out.pop("wq"), out.pop("wk"), out.pop("wv")
+    if "w1" in lp and "w3" in lp and "gate" not in lp:
+        out["w13"] = qweight_concat([lp["w1"], lp["w3"]])
+        out.pop("w1"), out.pop("w3")
+    return out
+
+
+def fuse_params(params: Dict) -> Dict:
+    return {**params,
+            "layers": [fuse_layer_weights(lp) for lp in params["layers"]]}
 
 
 def linear(x, qw: QWeight, *, use_pallas: Optional[bool] = None):
@@ -103,7 +157,7 @@ def linear(x, qw: QWeight, *, use_pallas: Optional[bool] = None):
         scale_mode = "channel" if qw.mode in (INT8_CHANNEL, INT4_CHANNEL) else "block"
         fn = quant_matmul if use_pallas else quant_matmul_ref
         out = fn(x2, qw.values, qw.scales, scale_mode=scale_mode,
-                 out_dtype=jnp.float32)
+                 out_dtype=jnp.float32, packed_int4=qw.packed)
     return out.reshape(*lead, qw.shape[-1])
 
 
@@ -188,7 +242,8 @@ def quantize_weight_jax(w, mode: str) -> QWeight:
         amax = jnp.abs(w).max(axis=-2)                     # per out-channel
         scale = jnp.where(amax == 0, 1.0, amax / bound)
         q = jnp.clip(jnp.round(w / scale[..., None, :]), -bound - 1.0, bound)
-        return QWeight(values=q.astype(jnp.int8), scales=scale, mode=mode)
+        return _pack_jax(QWeight(values=q.astype(jnp.int8), scales=scale,
+                                 mode=mode))
     if mode in (Q8_0, Q4_0):
         bound = 127.0 if mode == Q8_0 else 7.0
         K, N = w.shape[-2], w.shape[-1]
@@ -198,8 +253,21 @@ def quantize_weight_jax(w, mode: str) -> QWeight:
         d = (amax / bound).astype(jnp.float16).astype(jnp.float32)
         q = jnp.where(d == 0, 0.0, jnp.round(wb / jnp.where(d == 0, 1.0, d)))
         q = jnp.clip(q, -bound, bound).astype(jnp.int8).reshape(*lead, K, N)
-        return QWeight(values=q, scales=d[..., 0, :], mode=mode)
+        return _pack_jax(QWeight(values=q, scales=d[..., 0, :], mode=mode))
     raise ValueError(mode)
+
+
+def _pack_jax(qw: QWeight) -> QWeight:
+    """In-jit analog of _maybe_pack (handles stacked-expert leading dims)."""
+    from csinn2_tpu.kernels.qmatmul import pack_int4
+    if qw.mode not in (INT4_CHANNEL, Q4_0) or qw.packed:
+        return qw
+    v = qw.values
+    K = v.shape[-2]
+    if K % BLOCK_SIZE != 0:
+        return qw
+    pack = pack_int4 if v.ndim == 2 else jax.vmap(pack_int4)
+    return QWeight(values=pack(v), scales=qw.scales, mode=qw.mode, packed=True)
 
 
 def init_params_device(cfg: LlamaConfig, mode: str = FLOAT, seed: int = 0,
@@ -332,7 +400,8 @@ class KVCache:
 
 def attention_block(x, layer_params, cache: KVCache, layer_idx: int, pos,
                     cfg: LlamaConfig, use_pallas: Optional[bool] = None,
-                    tp_axis: Optional[str] = None):
+                    tp_axis: Optional[str] = None,
+                    kv_bound: Optional[int] = None):
     """One attention sublayer incl. KV-cache update
     (ref: llama2_build_transformer_block attention part, llama2.c:109-429).
 
@@ -345,9 +414,15 @@ def attention_block(x, layer_params, cache: KVCache, layer_idx: int, pos,
     b, s, D = x.shape
     hq, hk, dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
 
-    q = linear(x, layer_params["wq"], use_pallas=use_pallas).reshape(b, s, hq, dh)
-    k = linear(x, layer_params["wk"], use_pallas=use_pallas).reshape(b, s, hk, dh)
-    v = linear(x, layer_params["wv"], use_pallas=use_pallas).reshape(b, s, hk, dh)
+    if "wqkv" in layer_params:
+        qkv = linear(x, layer_params["wqkv"], use_pallas=use_pallas)
+        q = qkv[..., :hq * dh].reshape(b, s, hq, dh)
+        k = qkv[..., hq * dh:(hq + hk) * dh].reshape(b, s, hk, dh)
+        v = qkv[..., (hq + hk) * dh:].reshape(b, s, hk, dh)
+    else:
+        q = linear(x, layer_params["wq"], use_pallas=use_pallas).reshape(b, s, hq, dh)
+        k = linear(x, layer_params["wk"], use_pallas=use_pallas).reshape(b, s, hk, dh)
+        v = linear(x, layer_params["wv"], use_pallas=use_pallas).reshape(b, s, hk, dh)
 
     positions = pos + jnp.arange(s, dtype=jnp.int32)
     q = rope_rotate(q, positions, cfg.rope_base)
@@ -355,6 +430,12 @@ def attention_block(x, layer_params, cache: KVCache, layer_idx: int, pos,
 
     cache = cache.store(layer_idx, pos, k, v)
     k_all, v_all = cache.read(layer_idx)      # [b, S_max, hk, dh]
+    if kv_bound is not None and kv_bound < k_all.shape[1]:
+        # static upper bound on valid KV (caller guarantees pos+s <= bound):
+        # at decode, attention is KV-read-bound — slicing the static cache to
+        # the generation horizon skips DMA of never-written tail blocks
+        k_all = k_all[:, :kv_bound]
+        v_all = v_all[:, :kv_bound]
 
     q_t = jnp.transpose(q, (0, 2, 1, 3))                    # [b, hq, s, dh]
     k_t = jnp.transpose(k_all, (0, 2, 1, 3))                # [b, hk, S, dh]
@@ -395,8 +476,13 @@ def attention_block(x, layer_params, cache: KVCache, layer_idx: int, pos,
 def ffn_block(x, layer_params, use_pallas=None, tp_axis: Optional[str] = None):
     """SwiGLU FFN: w2(silu(w1 x) * w3 x) (ref: llama2.c:431-455).
     Under TP, w1/w3 are column-sharded and w2 row-sharded → one psum."""
-    h1 = linear(x, layer_params["w1"], use_pallas=use_pallas)
-    h3 = linear(x, layer_params["w3"], use_pallas=use_pallas)
+    if "w13" in layer_params:
+        h13 = linear(x, layer_params["w13"], use_pallas=use_pallas)
+        F = h13.shape[-1] // 2
+        h1, h3 = h13[..., :F], h13[..., F:]
+    else:
+        h1 = linear(x, layer_params["w1"], use_pallas=use_pallas)
+        h3 = linear(x, layer_params["w3"], use_pallas=use_pallas)
     h = jax.nn.silu(h1) * h3
     out = linear(h.astype(jnp.bfloat16), layer_params["w2"], use_pallas=use_pallas)
     if tp_axis is not None:
@@ -407,7 +493,7 @@ def ffn_block(x, layer_params, use_pallas=None, tp_axis: Optional[str] = None):
 def _expert_slice(qw: QWeight, e: int) -> QWeight:
     return QWeight(values=qw.values[e],
                    scales=None if qw.scales is None else qw.scales[e],
-                   mode=qw.mode)
+                   mode=qw.mode, packed=qw.packed)
 
 
 def moe_ffn_block(x, layer_params, cfg: LlamaConfig, use_pallas=None,
@@ -451,7 +537,8 @@ def moe_ffn_block(x, layer_params, cfg: LlamaConfig, use_pallas=None,
 def llama_forward(params, tokens, cache: KVCache, pos, cfg: LlamaConfig,
                   use_pallas: Optional[bool] = None,
                   tp_axis: Optional[str] = None,
-                  ep_axis: Optional[str] = None) -> Tuple[Any, KVCache]:
+                  ep_axis: Optional[str] = None,
+                  kv_bound: Optional[int] = None) -> Tuple[Any, KVCache]:
     """tokens [b, s] int32, pos scalar (dynamic) → (logits [b, s, V], cache').
 
     One fused jit-able function for both prefill (s=seq) and decode (s=1) —
@@ -462,7 +549,8 @@ def llama_forward(params, tokens, cache: KVCache, pos, cfg: LlamaConfig,
     for i, lp in enumerate(params["layers"]):
         h = rms_norm(x, lp["attn_norm"], cfg.norm_eps)
         attn_out, cache = attention_block(h.astype(jnp.bfloat16), lp, cache, i,
-                                          pos, cfg, use_pallas, tp_axis)
+                                          pos, cfg, use_pallas, tp_axis,
+                                          kv_bound=kv_bound)
         x = x + attn_out.astype(x.dtype)
         h = rms_norm(x, lp["ffn_norm"], cfg.norm_eps)
         if "gate" in lp:

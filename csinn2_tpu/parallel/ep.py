@@ -26,13 +26,13 @@ from csinn2_tpu.llm.model import FLOAT, KVCache, QWeight, llama_forward
 def _qw_replicated(qw: QWeight) -> QWeight:
     return QWeight(values=P(None, None),
                    scales=None if qw.scales is None else P(*([None] * qw.scales.ndim)),
-                   mode=qw.mode)
+                   mode=qw.mode, packed=qw.packed)
 
 
 def _qw_expert_sharded(qw: QWeight, axis: str = "ep") -> QWeight:
     v = P(*(axis,) + (None,) * (qw.values.ndim - 1))
     s = None if qw.scales is None else P(*(axis,) + (None,) * (qw.scales.ndim - 1))
-    return QWeight(values=v, scales=s, mode=qw.mode)
+    return QWeight(values=v, scales=s, mode=qw.mode, packed=qw.packed)
 
 
 def ep_param_specs(params) -> dict:

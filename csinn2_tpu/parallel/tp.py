@@ -43,20 +43,6 @@ def local_config(cfg: LlamaConfig, tp: int) -> LlamaConfig:
                                ffn_dim=cfg.ffn_dim // tp)
 
 
-def _qw_spec(col_sharded: bool, axis: str = "tp") -> QWeight:
-    """PartitionSpec pytree matching QWeight(values, scales).
-
-    col_sharded: shard N (last dim) — per-channel scales [N] and block scales
-    [K/32, N] shard their N dim.  Row-sharded: shard K — channel scales are
-    replicated, block scales shard K/32.
-    NOTE: a single spec must work for whichever scale layout is present;
-    we emit the block-scale spec and rely on per-mode spec construction below.
-    """
-    if col_sharded:
-        return QWeight(values=P(None, axis), scales=P(None, axis))
-    return QWeight(values=P(axis, None), scales=P(axis, None))
-
-
 def _qw_spec_for(qw: QWeight, col_sharded: bool, axis: str = "tp") -> QWeight:
     from csinn2_tpu.llm.model import FLOAT, INT4_CHANNEL, INT8_CHANNEL
     if col_sharded:
@@ -75,7 +61,7 @@ def _qw_spec_for(qw: QWeight, col_sharded: bool, axis: str = "tp") -> QWeight:
             s = P()                # [N] replicated
         else:
             s = P(axis, None)      # [K/32, N]
-    return QWeight(values=v, scales=s, mode=qw.mode)
+    return QWeight(values=v, scales=s, mode=qw.mode, packed=qw.packed)
 
 
 def param_specs(params) -> dict:

@@ -103,3 +103,46 @@ def test_qconv_int8_asym_zp_exact(rng):
         golden = acc * (sx * sw.reshape(1, -1, 1, 1))
         np.testing.assert_allclose(np.asarray(out.data, np.float64), golden,
                                    rtol=1e-5, atol=1e-4)
+
+
+def test_int4_pack_roundtrip(rng):
+    from csinn2_tpu.kernels.qmatmul import pack_int4, unpack_int4
+    q = rng.integers(-8, 8, size=(128, 24)).astype(np.int8)
+    packed = np.asarray(pack_int4(q))
+    assert packed.shape == (64, 24)
+    back = np.asarray(unpack_int4(packed, 128))
+    np.testing.assert_array_equal(back, q)
+
+
+def test_qmatmul_packed_int4_block(rng):
+    """Packed-nibble Q4_0 Pallas path == unpacked reference (exact)."""
+    from csinn2_tpu.kernels.qmatmul import pack_int4
+    M, K, N = 4, 128, 64
+    x = rng.standard_normal((M, K)).astype(np.float32)
+    q = rng.integers(-7, 8, size=(K, N)).astype(np.int8)
+    s = (rng.random((K // 32, N)).astype(np.float32) * 0.02 + 0.005)
+    golden = np.asarray(quant_matmul_ref(x, q, s, scale_mode="block"))
+    packed = pack_int4(q)
+    out = np.asarray(quant_matmul(x, packed, s, scale_mode="block",
+                                  bm=8, bn=64, bk=64, interpret=True,
+                                  packed_int4=True))
+    r = verify(out, golden, tol=5e-2, min_cosine=0.9999)
+    assert r.cosine_sim > 0.9999, r
+    # ref path with packed input agrees too
+    ref_packed = np.asarray(quant_matmul_ref(x, packed, s, scale_mode="block",
+                                             packed_int4=True))
+    np.testing.assert_allclose(ref_packed, golden, rtol=1e-6)
+
+
+def test_qmatmul_packed_int4_channel(rng):
+    from csinn2_tpu.kernels.qmatmul import pack_int4
+    M, K, N = 8, 64, 32
+    x = rng.standard_normal((M, K)).astype(np.float32)
+    q = rng.integers(-8, 8, size=(K, N)).astype(np.int8)
+    s = (rng.random((N,)).astype(np.float32) * 0.02 + 0.005)
+    golden = np.asarray(quant_matmul_ref(x, q, s, scale_mode="channel"))
+    out = np.asarray(quant_matmul(x, pack_int4(q), s, scale_mode="channel",
+                                  bm=8, bn=32, bk=64, interpret=True,
+                                  packed_int4=True))
+    r = verify(out, golden, tol=5e-2, min_cosine=0.9999)
+    assert r.cosine_sim > 0.9999, r
