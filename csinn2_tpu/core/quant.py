@@ -76,6 +76,8 @@ def from_minmax(minv: ArrayLike, maxv: ArrayLike, dtype: Dtype,
     (ref: quantize-from-range logic used by the test harness,
     tests/validation_layer/testutil.h get_quant_info.)
     """
+    if dtype.is_float:  # float "qinfo" is a plain cast: identity scale
+        return QuantInfo(scale=1.0, zero_point=0, dtype=dtype, axis=None)
     minv = np.minimum(np.asarray(minv, np.float64), 0.0)
     maxv = np.maximum(np.asarray(maxv, np.float64), 0.0)
     qmin, qmax = dtype.qmin, dtype.qmax

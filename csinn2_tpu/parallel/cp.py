@@ -22,7 +22,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 _NEG = -1e30
 
@@ -80,7 +80,7 @@ def ring_attention(q, k, v, mesh: Mesh, axis: str = "cp",
 
     spec = P(None, None, axis, None)
     return shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
-                     out_specs=spec, check_rep=False)(q, k, v)
+                     out_specs=spec, check_vma=False)(q, k, v)
 
 
 def ring_attention_reference(q, k, v, causal: bool = True,

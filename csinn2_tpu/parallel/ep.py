@@ -17,7 +17,7 @@ from typing import Optional
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from csinn2_tpu.llm.config import LlamaConfig
 from csinn2_tpu.llm.model import FLOAT, KVCache, QWeight, llama_forward
@@ -90,7 +90,7 @@ def ep_llama_forward(mesh: Mesh, cfg: LlamaConfig,
         fn = shard_map(fwd, mesh=mesh,
                        in_specs=(pspecs, P(None, None), cspec, P()),
                        out_specs=(P(None, None, None), cspec),
-                       check_rep=False)
+                       check_vma=False)
         return fn(params, tokens, cache, pos)
 
     return apply

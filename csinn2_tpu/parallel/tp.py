@@ -27,7 +27,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from csinn2_tpu.llm.config import LlamaConfig
 from csinn2_tpu.llm.model import KVCache, QWeight, llama_forward
@@ -127,7 +127,7 @@ def tp_llama_forward(mesh: Mesh, cfg: LlamaConfig,
         in_specs = (pspecs, P("dp", None), cspec, P())
         out_specs = (P("dp", None, None), cspec)
         fn = shard_map(fwd, mesh=mesh, in_specs=in_specs,
-                       out_specs=out_specs, check_rep=False)
+                       out_specs=out_specs, check_vma=False)
         return fn(params, tokens, cache, pos)
 
     return apply
