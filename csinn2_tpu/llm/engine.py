@@ -90,14 +90,19 @@ class InferenceEngine:
         self._decode_fn = _decode
 
         @functools.partial(jax.jit,
-                           static_argnames=("n_steps", "greedy", "kv_bound"))
+                           static_argnames=("n_steps", "greedy", "kv_bound",
+                                            "top_k"))
         def _decode_scan(params, cache, first_tok, pos0, key, n_steps,
-                         greedy, temperature, kv_bound=None):
+                         greedy, temperature, kv_bound=None, top_k=0,
+                         top_p=1.0):
             """Generate n_steps tokens in ONE executable: lax.scan carries
-            (token, pos, cache, rng) and samples on-device.  This is the
-            TPU-native inversion of the reference's decode loop (34 session
-            runs + host round-trip per token, llm_run, source/llm/llm.c:
-            152-181): zero host↔device traffic until all tokens are done."""
+            (token, pos, cache, rng) and samples on-device (greedy/temperature
+            /top-k/top-p, llm/sampling.py).  This is the TPU-native inversion
+            of the reference's decode loop (34 session runs + host round-trip
+            per token, llm_run, source/llm/llm.c:152-181): zero host↔device
+            traffic until all tokens are done."""
+            from csinn2_tpu.llm.sampling import sample_logits
+
             def body(carry, _):
                 tok, pos, cache, key = carry
                 logits, cache = llama_forward(params, tok.reshape(1, 1), cache,
@@ -105,11 +110,8 @@ class InferenceEngine:
                                               kv_bound=kv_bound)
                 lg = logits[0, 0].astype(jnp.float32)
                 key, sub = jax.random.split(key)
-                nxt = jnp.where(
-                    greedy, jnp.argmax(lg),
-                    jax.random.categorical(sub, lg / jnp.maximum(temperature,
-                                                                 1e-6)),
-                ).astype(jnp.int32)
+                nxt = sample_logits(lg, sub, temperature=temperature,
+                                    top_k=top_k, top_p=top_p, greedy=greedy)
                 return (nxt, pos + 1, cache, key), nxt
 
             (_, _, cache, _), toks = jax.lax.scan(
@@ -161,26 +163,29 @@ class InferenceEngine:
         return out
 
     def generate(self, prompt: List[int], max_new_tokens: int = 32,
-                 temperature: float = 0.0, seed: int = 0) -> List[int]:
-        """Single-sequence greedy/temperature sampling loop."""
+                 temperature: float = 0.0, seed: int = 0, top_k: int = 0,
+                 top_p: float = 1.0) -> List[int]:
+        """Single-sequence sampling loop (greedy/temperature/top-k/top-p)."""
         logits = self.prefill(0, prompt)
         rng = np.random.default_rng(seed)
         out = []
-        tok = self._sample(logits, temperature, rng)
+        tok = self._sample(logits, temperature, rng, top_k, top_p)
         for _ in range(max_new_tokens - 1):
             out.append(tok)
             logits = self.decode_step({0: tok})[0]
-            tok = self._sample(logits, temperature, rng)
+            tok = self._sample(logits, temperature, rng, top_k, top_p)
         out.append(tok)
         return out
 
     def generate_fused(self, prompt: List[int], max_new_tokens: int = 32,
-                       temperature: float = 0.0, seed: int = 0) -> List[int]:
+                       temperature: float = 0.0, seed: int = 0,
+                       top_k: int = 0, top_p: float = 1.0) -> List[int]:
         """Like generate(), but all decode steps run inside one jitted
-        lax.scan — one device program for the whole completion."""
+        lax.scan — one device program for the whole completion, sampling
+        (incl. top-k/top-p) on device."""
         logits = self.prefill(0, prompt)
         rng = np.random.default_rng(seed)
-        first = self._sample(logits, temperature, rng)
+        first = self._sample(logits, temperature, rng, top_k, top_p)
         sub = KVCache(k=self.cache.k[:, 0:1], v=self.cache.v[:, 0:1],
                       scale=self.cache.scale)
         bound = min(-(-(self.slots[0].pos + max_new_tokens) // 256) * 256,
@@ -189,7 +194,7 @@ class InferenceEngine:
             self.params, sub, jnp.int32(first), jnp.int32(self.slots[0].pos),
             jax.random.PRNGKey(seed), n_steps=max_new_tokens - 1,
             greedy=temperature <= 0, temperature=jnp.float32(max(temperature, 1e-6)),
-            kv_bound=bound)
+            kv_bound=bound, top_k=top_k, top_p=jnp.float32(top_p))
         self.cache = KVCache(k=self.cache.k.at[:, 0:1].set(sub.k),
                              v=self.cache.v.at[:, 0:1].set(sub.v),
                              scale=self.cache.scale)
@@ -199,12 +204,10 @@ class InferenceEngine:
         return out
 
     @staticmethod
-    def _sample(logits: np.ndarray, temperature: float, rng) -> int:
-        if temperature <= 0:
-            return int(np.argmax(logits))
-        p = np.exp((logits - logits.max()) / temperature)
-        p /= p.sum()
-        return int(rng.choice(len(p), p=p))
+    def _sample(logits: np.ndarray, temperature: float, rng, top_k: int = 0,
+                top_p: float = 1.0) -> int:
+        from csinn2_tpu.llm.sampling import sample_host
+        return sample_host(logits, temperature, rng, top_k=top_k, top_p=top_p)
 
     # -- benchmarking --------------------------------------------------------
 

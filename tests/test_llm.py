@@ -183,3 +183,53 @@ def test_init_params_device_structure():
     eng = InferenceEngine(CFG, params, batch=1, quantized_kv=True)
     out = eng.generate([1, 2, 3], max_new_tokens=4)
     assert len(out) == 4
+
+
+# -- sampling (top-k / top-p) -------------------------------------------------
+
+def test_sampling_filters():
+    import jax
+    import jax.numpy as jnp
+    from csinn2_tpu.llm.sampling import (filter_top_k, filter_top_p,
+                                         sample_logits, sample_host)
+
+    lg = jnp.asarray(np.log(np.asarray([0.5, 0.25, 0.15, 0.06, 0.04])),
+                     jnp.float32)
+    # top-k keeps exactly k survivors
+    kept = np.asarray(filter_top_k(lg, 2)) > -1e29
+    assert kept.tolist() == [True, True, False, False, False]
+    # top-p=0.7: cumulative 0.5, 0.75 → keep first two (prefix mass before
+    # each token < p), drop the tail
+    kept = np.asarray(filter_top_p(lg, 0.7)) > -1e29
+    assert kept.tolist() == [True, True, False, False, False]
+    # the argmax always survives, even for tiny p
+    kept = np.asarray(filter_top_p(lg, 1e-9)) > -1e29
+    assert kept.tolist() == [True, False, False, False, False]
+
+    # greedy flag → argmax regardless of key
+    tok = sample_logits(lg, jax.random.PRNGKey(0), greedy=True)
+    assert int(tok) == 0
+
+    # sampled tokens always come from the top-k set
+    keys = jax.random.split(jax.random.PRNGKey(1), 64)
+    toks = jax.vmap(lambda k: sample_logits(lg, k, temperature=1.0,
+                                            top_k=2))(keys)
+    assert set(np.asarray(toks).tolist()) <= {0, 1}
+
+    # host mirror: same support restriction
+    rng = np.random.default_rng(0)
+    hs = {sample_host(np.asarray(lg), 1.0, rng, top_k=3) for _ in range(64)}
+    assert hs <= {0, 1, 2}
+    hs = {sample_host(np.asarray(lg), 1.0, rng, top_p=0.7) for _ in range(64)}
+    assert hs <= {0, 1}
+
+
+def test_generate_fused_topk_topp(fparams):
+    """Fused-scan decode with top-k/top-p compiles and yields valid tokens."""
+    cfg, params = CFG, fparams
+    from csinn2_tpu.llm.engine import InferenceEngine
+    eng = InferenceEngine(cfg, params, batch=1, use_pallas=False)
+    out = eng.generate_fused([1, 2, 3], max_new_tokens=8, temperature=0.8,
+                             top_k=16, top_p=0.9, seed=0)
+    assert len(out) == 8
+    assert all(0 <= t < cfg.vocab_size for t in out)
