@@ -16,7 +16,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from csinn2_tpu.llm.config import LlamaConfig
 from csinn2_tpu.llm.engine import InferenceEngine
-from csinn2_tpu.llm.model import FLOAT, init_params, quantize_params
+from csinn2_tpu.llm.model import FLOAT, init_params_device
 from csinn2_tpu.utils.verify import cosine_similarity
 
 
@@ -39,10 +39,13 @@ def main():
     print(f"== Llama dim={cfg.dim} L={cfg.n_layers} mode={args.mode} "
           f"on {backend_summary()} ==")
 
+    # init + quantize ON DEVICE: the same PRNG draws feed both the float and
+    # the quantized pytree, so the cosine gate below compares like-for-like
+    # (host init would push ~40 small arrays one-by-one through the tunnel —
+    # minutes of pure transfer latency for a model this small)
     t0 = time.perf_counter()
-    fparams = init_params(cfg, mode=FLOAT, seed=0)
-    params = fparams if args.mode == "float" else quantize_params(fparams, args.mode)
-    print(f"params init+quant: {time.perf_counter()-t0:.2f}s")
+    params = init_params_device(cfg, mode=args.mode, seed=0)
+    print(f"params init+quant (on device): {time.perf_counter()-t0:.2f}s")
 
     eng = InferenceEngine(cfg, params, batch=1, quantized_kv=args.quant_kv)
     prompt = [1, 5, 9, 13, 21]
@@ -61,6 +64,7 @@ def main():
     print(f"decode throughput (fused scan, device loop): {tps:.1f} tokens/s")
 
     if args.mode != "float":
+        fparams = init_params_device(cfg, mode=FLOAT, seed=0)
         feng = InferenceEngine(cfg, fparams, batch=1)
         fl = feng.prefill(0, prompt)
         ql = eng.prefill(0, prompt)
