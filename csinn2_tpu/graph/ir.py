@@ -106,9 +106,26 @@ class Graph:
 
     def topo_check(self):
         """Validate producer-before-consumer order (the reference topo-sorts in
-        shl_subgraph_topology_sort; our record order is already topological)."""
+        shl_subgraph_topology_sort, source/graph_ref/subgraph.c:1332; record
+        order here must already be topological — this check turns a mis-ordered
+        record into a diagnosable setup error instead of a KeyError deep in
+        jit).  Raises ValueError naming the offending node and tensor."""
+        produced = {id(t) for n in self.nodes for t in n.outputs}
         seen = {id(t) for t in self.inputs}
         for node in self.nodes:
+            for t in node.inputs:
+                if not isinstance(t, Tensor) or id(t) in seen:
+                    continue
+                if id(t) in produced:
+                    # an edge produced by a LATER node → use-before-def/cycle
+                    raise ValueError(
+                        f"graph not topologically ordered: {node} consumes "
+                        f"tensor {t.meta.name or id(t)} before its producer runs")
+                if t.data is None:
+                    raise ValueError(
+                        f"{node} consumes unbound tensor "
+                        f"{t.meta.name or id(t)} (no producer, no data)")
+                # data-bearing constant: fine
             for t in node.outputs:
                 seen.add(id(t))
         return True

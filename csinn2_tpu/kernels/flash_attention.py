@@ -9,13 +9,22 @@ online-softmax recurrence over K/V blocks (so sk never materializes in VMEM),
 and OpenMP work-sharing becomes MXU tiling.
 
 Supports:
-  * causal masking with *dynamic* query offset and kv length (decode over a
-    static-shape KV cache re-uses one compiled kernel for every position —
-    the retrace-free analog of the reference's per-token dynamic-shape
-    re-inference, ref: llm_session_dynamic_infer_shape, source/llm/llm.c:3-141)
+  * causal masking with *dynamic, per-batch-row* query offset and kv length
+    (continuous batching: each lane of a decode batch sits at its own
+    position in the static KV cache — one compiled kernel serves every
+    combination of positions; the retrace-free analog of the reference's
+    per-token dynamic-shape re-inference, ref: llm_session_dynamic_infer_shape,
+    source/llm/llm.c:3-141)
   * grouped-query attention (hq a multiple of hk) via head index mapping
   * optional per-tensor KV dequant scale (int8-quantized KV cache,
     BASELINE configs 4/5)
+
+Numerics: both dots run with bf16 operands on the MXU (the bf16 rate is ~3×
+the f32 rate on v5e) with f32 accumulation; softmax state (m, l) and the
+output accumulator stay f32.  int8 KV carriers are exact in bf16 (8-bit
+mantissa) and their dequant scale is folded into the f32 scalar scale of the
+QK product and the f32 epilogue of the PV product, so quantized-KV attention
+loses no precision to the bf16 carriers.
 """
 
 from __future__ import annotations
@@ -34,9 +43,9 @@ NEG_INF = -1e30
 
 def _attn_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
                  scale: float, causal: bool, blk_k: int, n_kb: int,
-                 kv_scale: Optional[float]):
+                 kv_scale: Optional[float], hq: int):
     """Grid: (batch*heads, n_q_blocks, n_k_blocks); K innermost.
-    lens_ref (SMEM): [q_offset, kv_len]."""
+    lens_ref (SMEM): [b, 2] rows of (q_offset, kv_len)."""
     kb = pl.program_id(2)
 
     @pl.when(kb == 0)
@@ -45,18 +54,20 @@ def _attn_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q_offset = lens_ref[0, 0]
-    kv_len = lens_ref[0, 1]
+    bi = pl.program_id(0) // hq
+    q_offset = lens_ref[bi, 0]
+    kv_len = lens_ref[bi, 1]
 
-    q = q_ref[0].astype(jnp.float32)          # [blk_q, d]
-    k = k_ref[0].astype(jnp.float32)          # [blk_k, d]
-    v = v_ref[0].astype(jnp.float32)          # [blk_k, d]
-    if kv_scale is not None:
-        k = k * kv_scale
-        v = v * kv_scale
+    # bf16 MXU dots, f32 accumulation; the KV dequant scale commutes with both
+    # contractions so it is applied in f32 (QK: folded into `scale`; PV: in the
+    # final epilogue), keeping int8 carriers exact in bf16.
+    q = q_ref[0].astype(jnp.bfloat16)          # [blk_q, d]
+    k = k_ref[0].astype(jnp.bfloat16)          # [blk_k, d]
+    v = v_ref[0].astype(jnp.bfloat16)          # [blk_k, d]
+    qk_scale = scale * (kv_scale if kv_scale is not None else 1.0)
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale  # [blk_q, blk_k]
+                            preferred_element_type=jnp.float32) * qk_scale
 
     qb = pl.program_id(1)
     blk_q = q.shape[0]
@@ -75,13 +86,16 @@ def _attn_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
     alpha = jnp.exp(m_prev - m_new)            # [blk_q, 1]
     l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
     acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
-        p.astype(jnp.float32), v, preferred_element_type=jnp.float32)
+        p.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32)
     m_ref[:] = m_new
 
     @pl.when(kb == n_kb - 1)
     def _():
         denom = jnp.where(l_ref[:] == 0.0, 1.0, l_ref[:])
-        o_ref[0] = (acc_ref[:] / denom).astype(o_ref.dtype)
+        acc = acc_ref[:] / denom
+        if kv_scale is not None:
+            acc = acc * kv_scale
+        o_ref[0] = acc.astype(o_ref.dtype)
 
 
 def _round_up(x, m):
@@ -96,9 +110,11 @@ def flash_attention(q, k, v, *, causal: bool = True, q_offset=0, kv_len=None,
                     interpret: bool = False):
     """q: [b, hq, sq, d]; k/v: [b, hk, sk, d] (hq % hk == 0) → [b, hq, sq, d].
 
-    q_offset (dynamic ok): positions in the KV prefix ahead of q (decode).
+    q_offset (dynamic ok): positions in the KV prefix ahead of q (decode);
+                           scalar, or [b] for per-row positions (continuous
+                           batching: lanes decode at different depths).
     kv_len (dynamic ok): valid KV entries (static cache may be longer);
-                         defaults to sk.
+                         scalar or [b]; defaults to sk.
     kv_scale: per-tensor dequant scale when k/v are int8 carriers.
     """
     b, hq, sq, d = q.shape
@@ -123,7 +139,9 @@ def flash_attention(q, k, v, *, causal: bool = True, q_offset=0, kv_len=None,
     q3 = qp.reshape(bh, sqp, dp)
     k3 = kp.reshape(b * hk, skp, dp)
     v3 = vp.reshape(b * hk, skp, dp)
-    lens = jnp.asarray([[q_offset, jnp.minimum(kv_len, sk)]], jnp.int32)
+    off = jnp.broadcast_to(jnp.asarray(q_offset, jnp.int32).reshape(-1), (b,))
+    kvl = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32).reshape(-1), (b,))
+    lens = jnp.stack([off, jnp.minimum(kvl, sk)], axis=1)      # [b, 2]
 
     n_qb = sqp // blk_q
     n_kb = skp // blk_k
@@ -131,13 +149,13 @@ def flash_attention(q, k, v, *, causal: bool = True, q_offset=0, kv_len=None,
 
     kernel = functools.partial(
         _attn_kernel, scale=scale, causal=causal, blk_k=blk_k, n_kb=n_kb,
-        kv_scale=kv_scale)
+        kv_scale=kv_scale, hq=hq)
 
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 2), lambda h, qb, kb: (0, 0),
+            pl.BlockSpec((b, 2), lambda h, qb, kb: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, blk_q, dp), lambda h, qb, kb: (h, qb, 0),
                          memory_space=pltpu.VMEM),

@@ -1,10 +1,29 @@
 """Inference engine: jitted prefill/decode, sampling, and a continuous-
-batching slot scheduler.
+batching scheduler.
 
 (ref: llm_run + the per-token loop in tests/llm/llama2.c — but with the TPU
 execution model: one compiled executable per phase, static shapes, KV updates
 at dynamic positions, no per-token re-tracing.  Continuous batching is
 net-new per BASELINE config 5.)
+
+Continuous-batching design (TPU-first):
+  * the KV cache is ONE static [L, B, S_max, Hk, Dh] buffer; each slot (lane)
+    owns row b and sits at its own position `pos[b]`.
+  * prefill admission touches only the admitted slot: the jit slices
+    [L, 1, bucket, Hk, Dh] out of the cache (bucket = prompt length rounded
+    up, bounded compile count), runs the forward, and scatters those rows
+    back with dynamic_update_slice.  The cache argument is DONATED, so XLA
+    updates the big buffer in place — admission cost is O(L·bucket·Hk·Dh),
+    not O(whole cache).
+  * decode runs ALL lanes in one step through the flash-attention kernel
+    with per-row (q_offset, kv_len) — lanes at different depths share one
+    executable (kernels/flash_attention.py lens[B,2]).  A static kv_bound
+    (max position, bucketed) slices the cache read so never-written tail
+    blocks are not DMA'd.
+  * decode_steps() runs a chunk of steps inside ONE lax.scan executable with
+    on-device sampling — the whole batch generates with zero host↔device
+    traffic per token; the host scheduler interleaves prefill admissions
+    between chunks (prefill-while-decoding).
 """
 
 from __future__ import annotations
@@ -12,7 +31,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import time
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +48,10 @@ def _bucket(n: int, buckets=(32, 64, 128, 256, 512, 1024, 2048)) -> int:
     return buckets[-1]
 
 
+def _round256(n: int, cap: int) -> int:
+    return min(-(-n // 256) * 256, cap)
+
+
 @dataclasses.dataclass
 class Slot:
     """One continuous-batching lane."""
@@ -40,13 +63,29 @@ class Slot:
     done: bool = False
 
 
+@dataclasses.dataclass
+class Request:
+    """One queued generation request (continuous-batching unit of work)."""
+
+    prompt: List[int]
+    max_new_tokens: int = 32
+    eos_id: Optional[int] = None
+    temperature: float = 0.0
+    out: List[int] = dataclasses.field(default_factory=list)
+    slot: Optional[int] = None
+    done: bool = False
+
+
 class InferenceEngine:
     """Batch decode engine over a static KV cache.
 
-    prefill(): processes a prompt into one slot's cache rows (bucketed lengths
+    prefill(): admits a prompt into one slot's cache rows (bucketed lengths
     to bound compile count — the retrace-free analog of the reference's
-    per-token dynamic shape pass).
-    decode_step(): one token for every active slot in parallel.
+    per-token dynamic shape pass), touching only that slot's rows.
+    decode_step(): one token for every active slot in parallel (host-stepped).
+    decode_steps(): a chunk of tokens for every active slot in ONE lax.scan
+    executable with on-device sampling.
+    run_queue(): the continuous-batching scheduler over Requests.
     """
 
     def __init__(self, cfg: LlamaConfig, params, batch: int = 1,
@@ -68,22 +107,35 @@ class InferenceEngine:
 
         cfg_static = cfg
 
-        @functools.partial(jax.jit, static_argnames=("s",))
-        def _prefill(params, cache, tokens, pos, s):
+        @functools.partial(jax.jit, static_argnames=("s",), donate_argnums=(1,))
+        def _prefill(params, cache, tokens, slot, s):
+            """Admit one prompt: forward on a [L,1,bucket,...] slice of the
+            cache, scatter the rows back in place (donated cache → no copy of
+            the full buffer; ref contrast: the reference re-mallocs per node,
+            op_run_init, source/graph_ref/setup.c:1125)."""
             bound = min(-(-s // 256) * 256, cfg_static.max_seq_len)
-            logits, cache = llama_forward(params, tokens, cache, pos, cfg_static,
-                                          use_pallas, kv_bound=bound)
-            return logits, cache
+            sub = KVCache(
+                k=jax.lax.dynamic_slice(
+                    cache.k, (0, slot, 0, 0, 0),
+                    (cache.k.shape[0], 1, bound) + cache.k.shape[3:]),
+                v=jax.lax.dynamic_slice(
+                    cache.v, (0, slot, 0, 0, 0),
+                    (cache.v.shape[0], 1, bound) + cache.v.shape[3:]),
+                scale=cache.scale)
+            logits, sub = llama_forward(params, tokens, sub, 0, cfg_static,
+                                        use_pallas, kv_bound=bound)
+            k = jax.lax.dynamic_update_slice(cache.k, sub.k, (0, slot, 0, 0, 0))
+            v = jax.lax.dynamic_update_slice(cache.v, sub.v, (0, slot, 0, 0, 0))
+            return logits, KVCache(k=k, v=v, scale=cache.scale)
 
-        @jax.jit
-        def _decode(params, cache, tokens, pos_vec):
+        @functools.partial(jax.jit, static_argnames=("kv_bound",),
+                           donate_argnums=(1,))
+        def _decode(params, cache, tokens, pos_vec, kv_bound=None):
             """tokens [B, 1]; pos_vec [B] per-slot positions."""
-            # run each slot row with its own pos via vmap-over-batch using a
-            # common forward at s=1: positions differ per row, so the fused
-            # batched path uses per-row pos in rope/mask.
             logits, cache = _batched_decode_forward(params, tokens, cache,
                                                     pos_vec, cfg_static,
-                                                    use_pallas)
+                                                    use_pallas,
+                                                    kv_bound=kv_bound)
             return logits, cache
 
         self._prefill_fn = _prefill
@@ -91,24 +143,27 @@ class InferenceEngine:
 
         @functools.partial(jax.jit,
                            static_argnames=("n_steps", "greedy", "kv_bound",
-                                            "top_k"))
+                                            "top_k"),
+                           donate_argnums=(1,))
         def _decode_scan(params, cache, first_tok, pos0, key, n_steps,
                          greedy, temperature, kv_bound=None, top_k=0,
                          top_p=1.0):
-            """Generate n_steps tokens in ONE executable: lax.scan carries
-            (token, pos, cache, rng) and samples on-device (greedy/temperature
-            /top-k/top-p, llm/sampling.py).  This is the TPU-native inversion
-            of the reference's decode loop (34 session runs + host round-trip
-            per token, llm_run, source/llm/llm.c:152-181): zero host↔device
-            traffic until all tokens are done."""
+            """Generate n_steps tokens for the WHOLE batch in ONE executable:
+            lax.scan carries (tokens[B], pos[B], cache, rng) and samples
+            on-device (greedy/temperature/top-k/top-p, llm/sampling.py).
+            Lanes decode at their own positions via the per-row flash-
+            attention lens.  This is the TPU-native inversion of the
+            reference's decode loop (34 session runs + host round-trip per
+            token, llm_run, source/llm/llm.c:152-181): zero host↔device
+            traffic until the chunk is done."""
             from csinn2_tpu.llm.sampling import sample_logits
 
             def body(carry, _):
                 tok, pos, cache, key = carry
-                logits, cache = llama_forward(params, tok.reshape(1, 1), cache,
-                                              pos, cfg_static, use_pallas,
-                                              kv_bound=kv_bound)
-                lg = logits[0, 0].astype(jnp.float32)
+                logits, cache = _batched_decode_forward(
+                    params, tok[:, None], cache, pos, cfg_static, use_pallas,
+                    kv_bound=kv_bound)
+                lg = logits[:, 0].astype(jnp.float32)          # [B, V]
                 key, sub = jax.random.split(key)
                 nxt = sample_logits(lg, sub, temperature=temperature,
                                     top_k=top_k, top_p=top_p, greedy=greedy)
@@ -116,35 +171,31 @@ class InferenceEngine:
 
             (_, _, cache, _), toks = jax.lax.scan(
                 body, (first_tok, pos0, cache, key), None, length=n_steps)
-            return toks, cache
+            return toks, cache                                  # toks [n, B]
 
         self._decode_scan_fn = _decode_scan
 
-    # -- phases --------------------------------------------------------------
+    # -- phases ----------------------------------------------------------------
 
     def prefill(self, slot_id: int, prompt: List[int]):
-        """Fill `slot_id`'s cache with the prompt; returns logits of last pos.
-
-        Runs on a batch-1 slice of the cache and scatters the updated rows
-        back, so other slots' KV entries are untouched (continuous batching:
-        each lane fills independently)."""
+        """Fill `slot_id`'s cache rows with the prompt; returns logits of the
+        last prompt position.  Only the admitted slot's rows move (donated
+        in-place update) — other lanes keep decoding unperturbed."""
         slot = self.slots[slot_id]
         n = len(prompt)
         s = _bucket(n)
         toks = np.zeros((1, s), np.int32)
         toks[0, :n] = prompt
-        sub = KVCache(k=self.cache.k[:, slot_id:slot_id + 1],
-                      v=self.cache.v[:, slot_id:slot_id + 1],
-                      scale=self.cache.scale)
-        logits, sub = self._prefill_fn(self.params, sub, jnp.asarray(toks), 0, s=s)
-        self.cache = KVCache(
-            k=self.cache.k.at[:, slot_id:slot_id + 1].set(sub.k),
-            v=self.cache.v.at[:, slot_id:slot_id + 1].set(sub.v),
-            scale=self.cache.scale)
+        logits, self.cache = self._prefill_fn(
+            self.params, self.cache, jnp.asarray(toks), jnp.int32(slot_id), s=s)
         slot.pos = n
         slot.active = True
         slot.tokens = list(prompt)
         return np.asarray(logits[0, n - 1])
+
+    def _kv_bound(self, extra: int = 1) -> int:
+        mx = max((s.pos for s in self.slots if s.active), default=16)
+        return _round256(mx + extra, self.cfg.max_seq_len)
 
     def decode_step(self, next_tokens: Dict[int, int]) -> Dict[int, np.ndarray]:
         """One decode step for the given {slot_id: token}; returns logits."""
@@ -154,7 +205,8 @@ class InferenceEngine:
             toks[sid, 0] = tok
             pos[sid] = self.slots[sid].pos
         logits, self.cache = self._decode_fn(self.params, self.cache,
-                                             jnp.asarray(toks), jnp.asarray(pos))
+                                             jnp.asarray(toks), jnp.asarray(pos),
+                                             kv_bound=self._kv_bound())
         out = {}
         for sid in next_tokens:
             self.slots[sid].pos += 1
@@ -162,10 +214,108 @@ class InferenceEngine:
             out[sid] = np.asarray(logits[sid, 0])
         return out
 
+    def decode_steps(self, next_tokens: Dict[int, int], n_steps: int,
+                     temperature: float = 0.0, seed: int = 0, top_k: int = 0,
+                     top_p: float = 1.0) -> Dict[int, List[int]]:
+        """n_steps decode steps for all given slots inside ONE scan
+        executable (on-device sampling).  Returns {slot_id: [tokens…]} —
+        the seed token followed by n_steps-1 sampled continuations plus the
+        final sample (n_steps sampled tokens total)."""
+        toks = np.zeros((self.batch,), np.int32)
+        pos = np.zeros((self.batch,), np.int32)
+        for sid, tok in next_tokens.items():
+            toks[sid] = tok
+            pos[sid] = self.slots[sid].pos
+        bound = self._kv_bound(extra=n_steps + 1)
+        temp = np.asarray(temperature, np.float32)        # scalar or [B]
+        greedy = bool(np.all(temp <= 0))
+        sampled, self.cache = self._decode_scan_fn(
+            self.params, self.cache, jnp.asarray(toks), jnp.asarray(pos),
+            jax.random.PRNGKey(seed), n_steps=n_steps,
+            greedy=greedy,
+            temperature=jnp.asarray(np.maximum(temp, 1e-6)),
+            kv_bound=bound, top_k=top_k, top_p=jnp.float32(top_p))
+        sampled = np.asarray(sampled)                     # [n_steps, B]
+        out = {}
+        for sid, tok in next_tokens.items():
+            seq = [int(t) for t in sampled[:, sid]]
+            self.slots[sid].pos += n_steps
+            self.slots[sid].tokens.extend([tok] + seq[:-1])
+            out[sid] = seq
+        return out
+
+    # -- continuous-batching scheduler ------------------------------------------
+
+    def run_queue(self, requests: Sequence[Request], chunk: int = 16,
+                  seed: int = 0) -> List[Request]:
+        """Continuous batching: admit prompts into free lanes as they open,
+        decode all active lanes together in fused chunks between admissions
+        (prefill-while-decoding at chunk granularity).  Each request collects
+        its completion in `req.out`; returns the same list, all done."""
+        queue = list(requests)
+        pending: Dict[int, Request] = {}     # slot -> in-flight request
+        next_tok: Dict[int, int] = {}        # slot -> next token to feed
+        step_seed = seed
+
+        def admit():
+            for slot in self.slots:
+                if slot.active or not queue:
+                    continue
+                req = queue.pop(0)
+                logits = self.prefill(slot.id, req.prompt)
+                rng = np.random.default_rng(seed + len(req.prompt))
+                tok = self._sample(logits, req.temperature, rng)
+                req.slot = slot.id
+                req.out = [tok]
+                pending[slot.id] = req
+                next_tok[slot.id] = tok
+
+        admit()
+        while pending:
+            n = min(chunk, max(req.max_new_tokens - len(req.out)
+                               for req in pending.values()))
+            n = max(n, 1)
+            # per-row temperature: greedy requests ride along at temp≈0
+            # (sample_logits broadcasts a [B] temperature over [B, V] logits)
+            temp = np.full((self.batch,), 1e-6, np.float32)
+            any_sampled = False
+            for sid, req in pending.items():
+                temp[sid] = max(req.temperature, 1e-6)
+                any_sampled |= req.temperature > 0
+            step_seed += 1
+            outs = self.decode_steps(dict(next_tok), n,
+                                     temperature=temp if any_sampled else 0.0,
+                                     seed=step_seed)
+            for sid, seq in outs.items():
+                req = pending[sid]
+                for t in seq:
+                    if len(req.out) >= req.max_new_tokens or \
+                            (req.eos_id is not None and req.out and
+                             req.out[-1] == req.eos_id):
+                        break
+                    req.out.append(t)
+                finished = (len(req.out) >= req.max_new_tokens or
+                            (req.eos_id is not None and req.eos_id in req.out))
+                if finished:
+                    if req.eos_id is not None and req.eos_id in req.out:
+                        req.out = req.out[:req.out.index(req.eos_id) + 1]
+                    req.done = True
+                    self.slots[sid].active = False
+                    self.slots[sid].pos = 0
+                    del pending[sid]
+                    del next_tok[sid]
+                else:
+                    next_tok[sid] = req.out[-1]
+            admit()                           # refill freed lanes
+        return list(requests)
+
+    # -- single-sequence convenience ---------------------------------------------
+
     def generate(self, prompt: List[int], max_new_tokens: int = 32,
                  temperature: float = 0.0, seed: int = 0, top_k: int = 0,
                  top_p: float = 1.0) -> List[int]:
-        """Single-sequence sampling loop (greedy/temperature/top-k/top-p)."""
+        """Single-sequence sampling loop (greedy/temperature/top-k/top-p),
+        host-stepped."""
         logits = self.prefill(0, prompt)
         rng = np.random.default_rng(seed)
         out = []
@@ -186,22 +336,10 @@ class InferenceEngine:
         logits = self.prefill(0, prompt)
         rng = np.random.default_rng(seed)
         first = self._sample(logits, temperature, rng, top_k, top_p)
-        sub = KVCache(k=self.cache.k[:, 0:1], v=self.cache.v[:, 0:1],
-                      scale=self.cache.scale)
-        bound = min(-(-(self.slots[0].pos + max_new_tokens) // 256) * 256,
-                    self.cfg.max_seq_len)
-        toks, sub = self._decode_scan_fn(
-            self.params, sub, jnp.int32(first), jnp.int32(self.slots[0].pos),
-            jax.random.PRNGKey(seed), n_steps=max_new_tokens - 1,
-            greedy=temperature <= 0, temperature=jnp.float32(max(temperature, 1e-6)),
-            kv_bound=bound, top_k=top_k, top_p=jnp.float32(top_p))
-        self.cache = KVCache(k=self.cache.k.at[:, 0:1].set(sub.k),
-                             v=self.cache.v.at[:, 0:1].set(sub.v),
-                             scale=self.cache.scale)
-        out = [first] + [int(t) for t in np.asarray(toks)]
-        self.slots[0].pos += max_new_tokens
-        self.slots[0].tokens.extend(out)
-        return out
+        seq = self.decode_steps({0: first}, max_new_tokens - 1,
+                                temperature=temperature, seed=seed,
+                                top_k=top_k, top_p=top_p)[0]
+        return [first] + seq
 
     @staticmethod
     def _sample(logits: np.ndarray, temperature: float, rng, top_k: int = 0,
@@ -217,6 +355,7 @@ class InferenceEngine:
         toks = {i: 1 for i in range(self.batch)}
         for s in self.slots:
             s.pos = max(s.pos, 16)
+            s.active = True
         for _ in range(warmup):
             self.decode_step(toks)
         t0 = time.perf_counter()
@@ -225,39 +364,48 @@ class InferenceEngine:
         dt = time.perf_counter() - t0
         return self.batch * iters / dt
 
-    def benchmark_decode_device(self, iters: int = 64, reps: int = 3):
-        """TRUE decode tokens/s: the whole token loop runs on-device
-        (_decode_scan = lax.scan, one executable) and completion is forced by
-        fetching the tokens.  Reported as marginal cost between a long and a
-        short scan so compile, dispatch and transfer cancel out — host
-        timing loops only measure RPC rate on async/tunneled runtimes."""
-        import numpy as np
+    def benchmark_decode_device(self, iters: int = 64, reps: int = 3,
+                                pos0: int = 16):
+        """TRUE decode tokens/s for the full batch: the whole token loop runs
+        on-device (_decode_scan = lax.scan, one executable) and completion is
+        forced by fetching the tokens.  Reported as marginal cost between a
+        long and a short scan so compile, dispatch and transfer cancel out —
+        host timing loops only measure RPC rate on async/tunneled runtimes."""
         key = jax.random.PRNGKey(0)
-        sub = KVCache(k=self.cache.k[:, 0:1], v=self.cache.v[:, 0:1],
-                      scale=self.cache.scale)
 
         def run(n):
+            cache = KVCache(k=self.cache.k, v=self.cache.v,
+                            scale=self.cache.scale)
+            toks = jnp.ones((self.batch,), jnp.int32)
+            pos = jnp.full((self.batch,), pos0, jnp.int32)
             t0 = time.perf_counter()
-            toks, _ = self._decode_scan_fn(
-                self.params, sub, jnp.int32(1), jnp.int32(16), key,
+            out, cache = self._decode_scan_fn(
+                self.params, cache, toks, pos, key,
                 n_steps=n, greedy=True, temperature=jnp.float32(1.0),
-                kv_bound=min(-(-(16 + n) // 256) * 256, self.cfg.max_seq_len))
-            np.asarray(toks)
+                kv_bound=_round256(pos0 + n + 1, self.cfg.max_seq_len))
+            np.asarray(out)
+            # the donated self.cache buffer was consumed; adopt the result
+            self.cache = cache
             return time.perf_counter() - t0
 
         base = max(iters // 16, 2)
         run(base); run(base + iters)          # compile both
         t_s = min(run(base) for _ in range(reps))
         t_l = min(run(base + iters) for _ in range(reps))
-        return iters / max(t_l - t_s, 1e-12)
+        return self.batch * iters / max(t_l - t_s, 1e-12)
 
 
-def _batched_decode_forward(params, tokens, cache, pos_vec, cfg, use_pallas):
+def _batched_decode_forward(params, tokens, cache, pos_vec, cfg, use_pallas,
+                            kv_bound: Optional[int] = None):
     """Decode with per-row positions: like llama_forward at s=1 but pos is a
     vector [B].  RoPE and masking consume per-row positions; the KV store
-    scatters each row at its own pos."""
-    import numpy as np
+    scatters each row at its own pos; attention runs through the flash kernel
+    with per-row (q_offset, kv_len) lens (kernels/flash_attention.py) so
+    lanes at different depths share one executable."""
     from csinn2_tpu.llm.model import KVCache, linear, rms_norm, rope_rotate
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
 
     b, s = tokens.shape
     assert s == 1
@@ -303,21 +451,37 @@ def _batched_decode_forward(params, tokens, cache, pos_vec, cfg, use_pallas):
 
         k_all = cache.k[i]                                # [b, S, hk, dh]
         v_all = cache.v[i]
-        kf = k_all.astype(jnp.float32) * (cache.scale or 1.0)
-        vf = v_all.astype(jnp.float32) * (cache.scale or 1.0)
-        if hq != hk:
-            rep = hq // hk
-            kf = jnp.repeat(kf, rep, axis=2)
-            vf = jnp.repeat(vf, rep, axis=2)
-        scale = 1.0 / np.sqrt(dh)
-        # [b, hq, 1, S]
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32), kf) * scale
-        S = kf.shape[1]
-        kpos = jnp.arange(S)[None, :]                     # [1, S]
-        mask = kpos <= pos_vec[:, None]                   # [b, S]
-        logits = jnp.where(mask[:, None, None, :], logits, -1e30)
-        probs = jax.nn.softmax(logits, axis=-1)
-        attn = jnp.einsum("bhqk,bkhd->bqhd", probs, vf)   # [b, 1, hq, dh]
+        if kv_bound is not None and kv_bound < k_all.shape[1]:
+            # static DMA bound: decode is KV-read-bound, never-written tail
+            # blocks of the static cache must not be streamed
+            k_all = k_all[:, :kv_bound]
+            v_all = v_all[:, :kv_bound]
+
+        if use_pallas:
+            from csinn2_tpu.kernels.flash_attention import flash_attention
+            q_t = jnp.transpose(q, (0, 2, 1, 3)).astype(jnp.bfloat16)
+            k_t = jnp.transpose(k_all, (0, 2, 1, 3))      # [b, hk, S, dh]
+            v_t = jnp.transpose(v_all, (0, 2, 1, 3))
+            attn = flash_attention(q_t, k_t, v_t, causal=True,
+                                   q_offset=pos_vec, kv_len=pos_vec + 1,
+                                   kv_scale=cache.scale)
+            attn = jnp.transpose(attn, (0, 2, 1, 3))      # [b, 1, hq, dh]
+        else:
+            kf = k_all.astype(jnp.float32) * (cache.scale or 1.0)
+            vf = v_all.astype(jnp.float32) * (cache.scale or 1.0)
+            if hq != hk:
+                rep = hq // hk
+                kf = jnp.repeat(kf, rep, axis=2)
+                vf = jnp.repeat(vf, rep, axis=2)
+            scale = 1.0 / np.sqrt(dh)
+            # [b, hq, 1, S]
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32), kf) * scale
+            S = kf.shape[1]
+            kpos = jnp.arange(S)[None, :]                 # [1, S]
+            mask = kpos <= pos_vec[:, None]               # [b, S]
+            logits = jnp.where(mask[:, None, None, :], logits, -1e30)
+            probs = jax.nn.softmax(logits, axis=-1)
+            attn = jnp.einsum("bhqk,bkhd->bqhd", probs, vf)   # [b, 1, hq, dh]
         attn = attn.reshape(b, 1, D).astype(jnp.bfloat16)
         x = x + linear(attn, lp["wo"], use_pallas=use_pallas).astype(x.dtype)
 

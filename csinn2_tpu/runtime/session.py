@@ -234,11 +234,6 @@ class Session:
                 for i, n in enumerate(self.graph.nodes)
                 for j, t in enumerate(n.outputs)]
 
-        def fn(consts, *inputs):
-            outs = self.graph.execute(inputs, consts)
-            del outs
-            return None
-
         # tap every node output by running the graph once with all outputs
         saved_outputs = list(self.graph.outputs)
         self.graph.outputs = [t for _, t in taps]

@@ -233,3 +233,82 @@ def test_generate_fused_topk_topp(fparams):
                              top_k=16, top_p=0.9, seed=0)
     assert len(out) == 8
     assert all(0 <= t < cfg.vocab_size for t in out)
+
+
+# -- continuous batching (run_queue / decode_steps) ----------------------------
+
+def test_decode_steps_multislot_matches_stepwise(fparams):
+    """Two lanes at different depths decoding inside ONE scan executable must
+    produce the same greedy tokens as per-step dispatch of each lane alone."""
+    eng = InferenceEngine(CFG, fparams, batch=2, use_pallas=False)
+    l0 = eng.prefill(0, [3, 7, 11, 2, 9])
+    l1 = eng.prefill(1, [5, 2])
+    t0, t1 = int(np.argmax(l0)), int(np.argmax(l1))
+    outs = eng.decode_steps({0: t0, 1: t1}, n_steps=4)
+
+    for prompt, first, got in [([3, 7, 11, 2, 9], t0, outs[0]),
+                               ([5, 2], t1, outs[1])]:
+        ref = InferenceEngine(CFG, fparams, batch=1, use_pallas=False)
+        want = ref.generate(prompt, max_new_tokens=5)
+        assert want[0] == first
+        assert got == want[1:], (got, want)
+
+
+def test_run_queue_matches_single_slot(fparams):
+    """Continuous batching over more requests than lanes: every completion
+    must equal the single-sequence greedy generation for its prompt, including
+    requests admitted mid-flight into freed lanes."""
+    from csinn2_tpu.llm.engine import Request
+    prompts = [[3, 7, 11], [5, 2], [9, 4, 1, 8], [2, 2, 6]]
+    lens = [6, 3, 5, 4]
+    eng = InferenceEngine(CFG, fparams, batch=2, use_pallas=False)
+    reqs = [Request(prompt=p, max_new_tokens=n) for p, n in zip(prompts, lens)]
+    done = eng.run_queue(reqs, chunk=2)
+    assert all(r.done for r in done)
+    for p, n, r in zip(prompts, lens, done):
+        ref = InferenceEngine(CFG, fparams, batch=1, use_pallas=False)
+        want = ref.generate(p, max_new_tokens=n)
+        assert r.out == want, (p, r.out, want)
+
+
+def test_run_queue_eos(fparams):
+    """EOS terminates a request early and frees the lane."""
+    from csinn2_tpu.llm.engine import Request
+    ref = InferenceEngine(CFG, fparams, batch=1, use_pallas=False)
+    full = ref.generate([3, 7, 11], max_new_tokens=8)
+    eos = full[2]                      # force an early stop at the 3rd token
+    eng = InferenceEngine(CFG, fparams, batch=1, use_pallas=False)
+    req = Request(prompt=[3, 7, 11], max_new_tokens=8, eos_id=eos)
+    eng.run_queue([req], chunk=3)
+    assert req.out == full[:3], (req.out, full)
+
+
+def test_prefill_admission_preserves_other_lanes(fparams):
+    """Admitting a prompt into lane 1 must not disturb lane 0's cache rows
+    (in-place donated update touches only the admitted slot)."""
+    eng = InferenceEngine(CFG, fparams, batch=2, use_pallas=False)
+    l0 = eng.prefill(0, [3, 7, 11])
+    k_before = np.asarray(eng.cache.k[:, 0])
+    eng.prefill(1, [5, 2, 9, 4])
+    k_after = np.asarray(eng.cache.k[:, 0])
+    np.testing.assert_array_equal(k_before, k_after)
+    # lane 0 keeps decoding correctly after the admission
+    step = eng.decode_step({0: int(np.argmax(l0))})
+    ref = InferenceEngine(CFG, fparams, batch=1, use_pallas=False)
+    rl0 = ref.prefill(0, [3, 7, 11])
+    rstep = ref.decode_step({0: int(np.argmax(rl0))})
+    assert cosine_similarity(step[0], rstep[0]) > 0.999
+
+
+def test_top_p_disabled_at_one():
+    """top_p=1.0 must be a no-op: with a very high temperature, tokens far
+    below the argmax (beyond f32 cumsum saturation) must still be sampled
+    (regression: the nucleus filter used to hard-mask them even at p=1)."""
+    import jax
+    from csinn2_tpu.llm.sampling import sample_logits
+    lg = jnp.asarray([0.0, -30.0], jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(0), 128)
+    toks = jax.vmap(lambda k: sample_logits(lg, k, temperature=1000.0,
+                                            top_p=1.0))(keys)
+    counts = np.bincount(np.asarray(toks), minlength=2)
+    assert counts[1] > 20, counts     # ~uniform after tempering

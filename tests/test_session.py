@@ -141,3 +141,35 @@ def test_run_benchmark_device(rng):
     xin = rng.standard_normal((8, 64)).astype(np.float32)
     dt = sess.run_benchmark_device(xin, iters=16, reps=2)
     assert 0 < dt < 1.0
+
+
+def test_topo_check_rejects_misordered_graph(rng):
+    """A consumer recorded before its producer must fail setup() with a
+    diagnosable error (not a KeyError deep inside jit)."""
+    import pytest
+    sess = Session(run_mode=RunMode.GRAPH)
+    with sess.build():
+        x = sess.input(TensorMeta(shape=(2, 4), dtype=Dtype.FLOAT32))
+        a = ops.relu(x)
+        b = ops.relu(a)
+        sess.set_output(b)
+    # swap the two nodes: b's producer now runs after b consumes a
+    sess.graph.nodes.reverse()
+    with pytest.raises(ValueError, match="topologically"):
+        sess.setup()
+
+
+def test_topo_check_rejects_unbound_tensor():
+    import pytest
+    from csinn2_tpu.graph.ir import Graph, Node
+    g = Graph()
+    x = Tensor(meta=TensorMeta(shape=(2, 2), dtype=Dtype.FLOAT32, name="in0"))
+    g.inputs.append(x)
+    phantom = Tensor(meta=TensorMeta(shape=(2, 2), dtype=Dtype.FLOAT32,
+                                     name="phantom"))
+    out = Tensor(meta=TensorMeta(shape=(2, 2), dtype=Dtype.FLOAT32))
+    g.add_node(Node(op="add", inputs=[x, phantom], params=None,
+                    exec_fn=lambda args: args[0] + args[1], outputs=[out]))
+    g.outputs.append(out)
+    with pytest.raises(ValueError, match="unbound"):
+        g.topo_check()
