@@ -30,6 +30,10 @@ class TensorMeta:
     qinfo: Optional[QuantInfo] = None
     name: str = ""
     mem_type: MemType = MemType.DEFAULT
+    const_key: Optional[str] = None   # stable weight key for saved models: a
+                                      # reloaded graph (runtime/export.load_model)
+                                      # reuses the original keys so the consts
+                                      # pytree matches an AOT-exported executable
 
     @property
     def size(self) -> int:

@@ -39,6 +39,13 @@ class Node:
     device: str = "accel"           # placement for HYBRID partitioning
                                     # (ref: per-node device/api in subgraph.c
                                     #  shl_subgraph_get_device :791)
+    # replay info for the binary-model load path (runtime/export.load_model —
+    # the csinn_import_binary_model analog, ref: source/nn2/format.c:1304):
+    # how call_op's positional args map onto the flat `inputs` list, plus the
+    # extra kwargs and output quant target of the original call
+    structure: Any = None           # sequence of "T" | "N" | ("L", n)
+    extra: Any = None               # jsonable kwargs forwarded to the kernel
+    out_qinfo: Any = None
 
     def __repr__(self):
         return f"Node({self.op}:{self.name or id(self) % 9973})"
@@ -135,4 +142,6 @@ class Graph:
 
 
 def _const_key(t: Tensor) -> str:
-    return f"c{id(t)}"
+    # const_key is stamped by the binary-model loader so a reloaded graph's
+    # consts pytree keys match the original save (and its AOT executable)
+    return t.meta.const_key or f"c{id(t)}"

@@ -147,7 +147,9 @@ def call_op(op: str, tensors: Sequence[Any], params=None,
         out_shape = jax.eval_shape(lambda *a: fn(a), *shapes)
         leaves = out_shape if isinstance(out_shape, (tuple, list)) else (out_shape,)
         node = Node(op=op, inputs=list(flat), params=params, exec_fn=fn,
-                    name=getattr(params, "name", "") or op, cb_name=cb.name)
+                    name=getattr(params, "name", "") or op, cb_name=cb.name,
+                    structure=list(structure), extra=dict(extra),
+                    out_qinfo=out_qinfo)
         outs = []
         for i, l in enumerate(leaves):
             meta = TensorMeta(shape=tuple(l.shape), dtype=_dtype_of(l.dtype),
