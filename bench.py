@@ -1,22 +1,29 @@
 #!/usr/bin/env python
-"""Driver benchmark: MobileNetV1-INT8 inference on one TPU chip.
+"""Driver benchmark: MobileNetV1-INT8 + Llama-2-7B on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline = speedup over the float32 XLA graph of the same model measured
-in the same run (the reference publishes no absolute numbers — BASELINE.md —
-so the f32 path is the measured baseline).
+Prints one JSON line per metric: {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no absolute numbers (BASELINE.md), so vs_baseline is
+a measured ratio on the same chip in the same run:
+  - mobilenet:      speedup over the float32 XLA graph of the same model
+  - llama decode:   fraction of the HBM weight-read speed-of-light
+                    (decode is weight-bound: tok/s ≈ BW / bytes(weights))
+  - llama TTFT:     fraction of the bf16-MXU prefill FLOP bound
+  - llama batch=8:  decode tokens/s scaling vs batch=1 (continuous batching)
 
-Timing methodology: run_benchmark_device — the whole graph executes `iters`
-times inside ONE device executable (lax.fori_loop) and completion is forced
-by fetching a scalar.  A host-side timing loop is NOT valid on this runtime:
-dispatch is asynchronous end-to-end (block_until_ready returns early through
-the tunnel), so host loops measure RPC rate, not device time.  Verified by
-roofline calibration: device-loop measurements reproduce 97% of v5e peak
-bf16 FLOPs and ~80% of spec HBM bandwidth, while host loops report
-physically impossible numbers (>30 TB/s "bandwidth").
+Timing methodology: device-side loops only (lax.fori_loop / lax.scan inside
+ONE executable, completion forced by fetching a scalar, long-minus-short
+marginal).  Host-side timing loops are NOT valid on this runtime: dispatch is
+asynchronous end-to-end (block_until_ready returns early through the tunnel),
+so host loops measure RPC rate, not device time.  Verified by roofline
+calibration: device-loop measurements reproduce 97% of v5e peak bf16 FLOPs
+and ~80% of spec HBM bandwidth, while host loops report physically impossible
+numbers (>30 TB/s "bandwidth").
+
+Set BENCH_SKIP_LLM=1 / BENCH_SKIP_CNN=1 to run a subset.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -24,14 +31,19 @@ sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
 BATCH = 128  # throughput batch: compute-bound, stable; bs=1 reported too
 
+HBM_GIBPS = 763.0    # v5e spec HBM bandwidth (GiB/s)
+BF16_TFLOPS = 197.0  # v5e peak bf16 MXU
 
-def main():
+
+def emit(metric, value, unit, vs_baseline):
+    print(json.dumps({"metric": metric, "value": round(float(value), 3),
+                      "unit": unit, "vs_baseline": round(float(vs_baseline), 3)}))
+
+
+def bench_mobilenet():
     import numpy as np
     from csinn2_tpu.core.dtypes import QuantScheme
     from csinn2_tpu.models.mobilenet import MobileNetV1
-    from csinn2_tpu.utils.platform import backend_summary, honor_env_platform
-    honor_env_platform()
-    print(f"# backend: {backend_summary()}", file=sys.stderr)
 
     model = MobileNetV1(input_size=224)
     rng = np.random.default_rng(0)
@@ -75,12 +87,82 @@ def main():
     print(f"# cosine vs f32: {cs:.5f}", file=sys.stderr)
     assert cs >= 0.99, f"accuracy gate failed: {cs}"
 
-    print(json.dumps({
-        "metric": f"mobilenet_v1_int8_224_bs{BATCH}_imgs_per_s",
-        "value": round(BATCH / int8_dt, 2),
-        "unit": "img/s",
-        "vs_baseline": round(f32_dt / int8_dt, 3),
-    }))
+    emit(f"mobilenet_v1_int8_224_bs{BATCH}_imgs_per_s", BATCH / int8_dt,
+         "img/s", f32_dt / int8_dt)
+
+
+def bench_llama7b(mode="q8_0"):
+    """Llama-2-7B weight-only quant, quantized KV (BASELINE config 4) +
+    batch-8 continuous-batching decode scaling (config 5, single chip).
+    Weights are random, generated+quantized on device (init_params_device) —
+    the arithmetic is identical to real weights; correctness is gated
+    separately (tests/test_llm.py, examples/llama_generate.py)."""
+    import jax
+    import numpy as np
+    from csinn2_tpu.llm.config import LlamaConfig
+    from csinn2_tpu.llm.engine import InferenceEngine
+    from csinn2_tpu.llm.model import init_params_device
+
+    cfg = LlamaConfig.llama2_7b()
+    t0 = time.time()
+    params = jax.block_until_ready(init_params_device(cfg, mode=mode, seed=0))
+    print(f"# llama7b {mode} device init+quant: {time.time()-t0:.0f}s",
+          file=sys.stderr)
+    wbytes = sum(int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(params)
+                 if l.dtype == np.int8)
+    sbytes = sum(l.nbytes for l in jax.tree_util.tree_leaves(params)) - wbytes
+    tot_bytes = wbytes + sbytes
+    n_params = sum(int(np.prod(l.shape)) * (2 if str(l.dtype) == "int8" and
+                                            mode in ("int4", "q4_0") else 1)
+                   for l in jax.tree_util.tree_leaves(params)
+                   if l.dtype == np.int8)
+
+    eng = InferenceEngine(cfg, params, batch=1, quantized_kv=True)
+    prompt = list(np.random.default_rng(0).integers(1, cfg.vocab_size, 128))
+
+    # p50 TTFT, prompt 128 (host wall-clock: TTFT is a user-visible latency,
+    # and a single prefill is long enough to dominate tunnel RPC noise)
+    eng.generate(prompt, max_new_tokens=1)        # compile
+    ttfts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        eng.prefill(0, prompt)
+        jax.block_until_ready(eng.cache.k)
+        ttfts.append(time.perf_counter() - t0)
+    ttft = float(np.median(ttfts))
+    prefill_flops = 2.0 * n_params * len(prompt)
+    ttft_sol = prefill_flops / (BF16_TFLOPS * 1e12)
+    print(f"# llama7b TTFT p50: {ttft*1e3:.1f} ms (bf16 FLOP bound "
+          f"{ttft_sol*1e3:.1f} ms)", file=sys.stderr)
+    emit(f"llama2_7b_{mode}_ttft_p50_prompt128_ms", ttft * 1e3, "ms",
+         ttft_sol / max(ttft, 1e-9))
+
+    # decode tokens/s, batch 1 (fused scan, device-marginal)
+    tps1 = eng.benchmark_decode_device(iters=128)
+    sol = HBM_GIBPS * 2**30 / tot_bytes
+    print(f"# llama7b decode bs1: {tps1:.1f} tok/s "
+          f"(weight-read SOL {sol:.0f} tok/s → {100*tps1/sol:.0f}%)",
+          file=sys.stderr)
+    emit(f"llama2_7b_{mode}_decode_tok_s", tps1, "tok/s", tps1 / sol)
+
+    # batch-8 continuous batching: all lanes decode in one fused scan
+    del eng
+    eng8 = InferenceEngine(cfg, params, batch=8, quantized_kv=True)
+    tps8 = eng8.benchmark_decode_device(iters=128)
+    print(f"# llama7b decode bs8: {tps8:.1f} tok/s "
+          f"({tps8/max(tps1,1e-9):.2f}x bs1)", file=sys.stderr)
+    emit(f"llama2_7b_{mode}_decode_bs8_tok_s", tps8, "tok/s",
+         tps8 / max(tps1, 1e-9))
+
+
+def main():
+    from csinn2_tpu.utils.platform import backend_summary, honor_env_platform
+    honor_env_platform()
+    print(f"# backend: {backend_summary()}", file=sys.stderr)
+    if not os.environ.get("BENCH_SKIP_CNN"):
+        bench_mobilenet()
+    if not os.environ.get("BENCH_SKIP_LLM"):
+        bench_llama7b()
 
 
 if __name__ == "__main__":

@@ -44,17 +44,26 @@ def _sdpa_caps(metas, params) -> bool:
     sq = metas[0].shape[-2]
     sk = metas[1].shape[-2]
     d = metas[0].shape[-1]
+    if d > 256:
+        return False
+    if params is not None and (getattr(params, "kv_len", 0)
+                               or getattr(params, "pos_offset", 0)):
+        # decode over a static partially-filled cache: the kernel's masked
+        # kv_len skips dead-score work regardless of total size
+        return True
     # below this the whole score tile fits VMEM and XLA's fusion is as fast;
     # above it the Pallas kernel avoids materializing [sq, sk] scores
-    return sq * sk >= 128 * 512 and d <= 256
+    return sq * sk >= 128 * 512
 
 
 def _sdpa_pallas(q, k, v, params: SDPAParams):
     scale = params.norm_factor if params.norm_factor else None
+    kv_len = getattr(params, "kv_len", 0) or None   # 0 → full sk
     return flash_attention(jnp.asarray(q, jnp.bfloat16),
                            jnp.asarray(k, jnp.bfloat16),
                            jnp.asarray(v, jnp.bfloat16),
                            causal=params.causal, q_offset=params.pos_offset,
+                           kv_len=kv_len,
                            scale=scale).astype(jnp.float32)
 
 

@@ -25,14 +25,15 @@ from csinn2_tpu.core.dtypes import Api, Layout, QuantScheme
 from csinn2_tpu.core.quant import QuantInfo
 from csinn2_tpu.ops.registry import registry
 
-# Only schemes whose weights are symmetric (zp_w == 0): the fused epilogue
-# assumes acc = conv(x - zx, w)·sx·sw.  The u8 schemes quantize weights
-# asymmetrically and take the generic dequant→f32→requant path instead
-# (ref: the reference routes u8 through the same wrapper,
-# source/reference/utils.c:609-650).
+# Symmetric-weight schemes use acc = conv(x - zx, w)·sx·sw directly; the u8
+# schemes (asymmetric weights) shift both carriers by 128 into s8 and correct
+# the weight zero-point exactly with an integer window-sum term — see
+# _conv2d_quant (ref: the reference runs u8 through its int kernels with the
+# zp folded into bias, fuse_zp_to_bias, tests/validation_layer/testutil.h).
 _QSCHEMES = [QuantScheme.INT8_SYM, QuantScheme.INT8_ASYM,
              QuantScheme.INT8_ASYM_W_SYM, QuantScheme.INT4_SYM,
              QuantScheme.INT4_ASYM_W_SYM, QuantScheme.INT16_SYM]
+_U8_SCHEMES = [QuantScheme.UINT8_ASYM, QuantScheme.UINT8_SYM]
 
 _DN2D = {
     Layout.NCHW: ("NCHW", "OIHW", "NCHW"),
@@ -59,6 +60,16 @@ def _static_zp(qi) -> float:
         return None
 
 
+def _static_zp_vec(qi):
+    """Weight zero-point as a static numpy vector/scalar, else None."""
+    if qi is None:
+        return np.float32(0.0)
+    try:
+        return np.asarray(qi.zero_point)
+    except Exception:
+        return None
+
+
 def _conv2d_quant(arrays, metas, params, out_qinfo, w_layout=Layout.OIHW):
     """x int carrier, w int carrier (per-channel sym), optional f32 bias.
 
@@ -77,7 +88,7 @@ def _conv2d_quant(arrays, metas, params, out_qinfo, w_layout=Layout.OIHW):
     w_qi = metas[1].qinfo
 
     sx, zx = _scales(x_qi)
-    sw, _ = _scales(w_qi)          # per-out-channel [O] or scalar
+    sw, zw_f = _scales(w_qi)       # per-out-channel [O] or scalar
 
     # weight arrives [O, I/g, kh, kw] (OIHW view) or OHWI
     if w_layout == Layout.OHWI:
@@ -90,10 +101,25 @@ def _conv2d_quant(arrays, metas, params, out_qinfo, w_layout=Layout.OIHW):
     shape[caxis] = -1
 
     zp = _static_zp(x_qi)
+    w_zp = _static_zp_vec(w_qi)
+    u8 = (x.dtype == jnp.uint8 and wv.dtype == jnp.uint8 and zp is not None
+          and w_zp is not None)
+    if u8:
+        # -- u8 asymmetric: shift both carriers by 128 into s8 ----------------
+        # (x_u8 - zx)(w_u8 - zw) == (x_s8 - zx')(w_s8 - zw') with
+        # x_s8 = x-128, zx' = zx-128 (ditto w) — EXACT, and it reuses the
+        # s8 integer MXU pipe below.  The remaining asymmetric-weight term
+        # -zw'·Σwindow(x - zx') is computed with an integer ones-kernel conv
+        # (the conv-shaped generalization of the reference's fuse_zp_to_bias:
+        # a dense FC folds it into bias, a conv needs the per-window sum).
+        x = (x.astype(jnp.int16) - 128).astype(jnp.int8)
+        wv = (wv.astype(jnp.int16) - 128).astype(jnp.int8)
+        zp = zp - 128.0
+        zw_vec = np.asarray(w_zp, np.int64) - 128          # [O] or scalar
     if x.dtype == jnp.int8 and wv.dtype == jnp.int8 and zp is not None:
         # -- integer MXU path ------------------------------------------------
         zp_i = int(round(zp))
-        if zp_i != 0:
+        if zp_i != 0 or u8:
             # zp-pad so border windows see (zp - zp)·w = 0 like interior ones
             pads = [(0, 0)] * 4
             haxis = 1 if params.layout == Layout.NHWC else 2
@@ -114,6 +140,32 @@ def _conv2d_quant(arrays, metas, params, out_qinfo, w_layout=Layout.OIHW):
             wsum = jnp.sum(wv.astype(jnp.int32),
                            axis=tuple(a for a in range(4) if a != o_axis))
             acc = acc - zp_i * jnp.reshape(wsum, shape)
+        if u8 and np.any(zw_vec != 0):
+            # window sums S[n,g,h,w] = Σ_{i∈group,kh,kw} (x - zx'): an integer
+            # ones-kernel conv over the same zp-padded input (so the border
+            # windows are exact too), minus zx'·window_size
+            g = params.group
+            o_axis = dn[1].index("O")
+            i_axis = dn[1].index("I")
+            kh_kw = [wv.shape[a] for a in range(4) if a not in (o_axis, i_axis)]
+            ig = wv.shape[i_axis]
+            ones_shape = [0] * 4
+            ones_shape[o_axis] = g
+            ones_shape[i_axis] = ig
+            rest = [a for a in range(4) if a not in (o_axis, i_axis)]
+            ones_shape[rest[0]], ones_shape[rest[1]] = kh_kw
+            ones_w = jnp.ones(ones_shape, jnp.int8)
+            s0 = lax.conv_general_dilated(
+                x, ones_w, window_strides=params.stride, padding=padding,
+                rhs_dilation=params.dilation, dimension_numbers=dn,
+                feature_group_count=g, preferred_element_type=jnp.int32)
+            cnt = ig * kh_kw[0] * kh_kw[1]
+            winsum = s0 - zp_i * cnt                       # [N, g, H', W']
+            O = wv.shape[o_axis]
+            if g != O:
+                winsum = jnp.repeat(winsum, O // g, axis=caxis)
+            zw_arr = jnp.asarray(np.broadcast_to(zw_vec, (O,)), jnp.int32)
+            acc = acc - jnp.reshape(zw_arr, shape) * winsum
         acc = acc.astype(jnp.float32)
     else:
         # -- float-carrier fallback (asym-unknown zp, int16, u8) -------------
@@ -132,6 +184,12 @@ def _conv2d_quant(arrays, metas, params, out_qinfo, w_layout=Layout.OIHW):
         if xb.dtype != wb.dtype:
             xb, wb = xb.astype(jnp.float32), wb.astype(jnp.float32)
         xb = xb - zx.astype(xb.dtype)
+        # asymmetric weights (u8 schemes with a dynamic zp): subtract zw on
+        # the O axis of the dn[1]-layout weight
+        o_shape = [1] * 4
+        o_shape[dn[1].index("O")] = -1
+        wb = wb - jnp.reshape(zw_f, o_shape if jnp.ndim(zw_f) else ()) \
+                     .astype(wb.dtype)
         acc = lax.conv_general_dilated(
             xb, wb, window_strides=params.stride, padding=((pt, pd), (pl_, pr)),
             rhs_dilation=params.dilation, dimension_numbers=dn,
@@ -162,13 +220,14 @@ def _depthwise_quant(arrays, metas, params, out_qinfo, w_layout=Layout.OIHW):
 
 
 def _fc_quant(arrays, metas, params, out_qinfo):
-    """y = (x - zx) @ W^T · (sx·sw) + b, requantized."""
+    """y = (x - zx) @ (W - zw)^T · (sx·sw) + b, requantized."""
     x = arrays[0]
     w = arrays[1]
     bias = arrays[2] if len(arrays) > 2 else None
     x_qi = metas[0].qinfo
+    w_qi = metas[1].qinfo
     sx, zx = _scales(x_qi)
-    sw, _ = _scales(metas[1].qinfo)
+    sw, zw_f = _scales(w_qi)
 
     def _widen(a):
         if a.dtype in (jnp.int8, jnp.uint8):
@@ -179,14 +238,32 @@ def _fc_quant(arrays, metas, params, out_qinfo):
         return a.astype(jnp.bfloat16)
 
     zp = _static_zp(x_qi)
+    w_zp = _static_zp_vec(w_qi)
+    u8 = (x.dtype == jnp.uint8 and w.dtype == jnp.uint8 and zp is not None
+          and w_zp is not None)
+    if u8:
+        # shift both carriers by 128 into s8 — exact (see _conv2d_quant)
+        x = (x.astype(jnp.int16) - 128).astype(jnp.int8)
+        w = (w.astype(jnp.int16) - 128).astype(jnp.int8)
+        zp = zp - 128.0
     if x.dtype == jnp.int8 and w.dtype == jnp.int8 and zp is not None:
-        # integer MXU dot s8×s8→s32 (exact); zp correction is exact for a
-        # dense dot: (x-zp)@Wᵀ = x@Wᵀ - zp·Σ_k W
+        # integer MXU dot s8×s8→s32 (exact); zp corrections are exact for a
+        # dense dot (the reference's fuse_zp_to_bias fold,
+        # tests/validation_layer/testutil.h):
+        # (x-zx)@(W-zw)ᵀ = x@Wᵀ - zx·Σ_k W - zw·(Σ_k x - K·zx)
         acc = lax.dot_general(x, w, (((x.ndim - 1,), (1,)), ((), ())),
                               preferred_element_type=jnp.int32)
         zp_i = int(round(zp))
         if zp_i != 0:
             acc = acc - zp_i * jnp.sum(w.astype(jnp.int32), axis=1)
+        if u8:
+            zw_vec = np.asarray(w_zp, np.int64) - 128      # [units] or scalar
+            if np.any(zw_vec != 0):
+                K = x.shape[-1]
+                xsum = jnp.sum(x.astype(jnp.int32), axis=-1, keepdims=True)
+                zw_arr = jnp.asarray(np.broadcast_to(zw_vec, (w.shape[0],)),
+                                     jnp.int32)
+                acc = acc - zw_arr * (xsum - K * zp_i)
         acc = acc.astype(jnp.float32)
         y = acc * (sx * sw)
         if bias is not None:
@@ -203,6 +280,8 @@ def _fc_quant(arrays, metas, params, out_qinfo):
     if xb.dtype != wb.dtype:
         xb, wb = xb.astype(jnp.float32), wb.astype(jnp.float32)
     xb = xb - zx.astype(xb.dtype)
+    wb = wb - (jnp.reshape(zw_f, (-1, 1)) if jnp.ndim(zw_f)
+               else zw_f).astype(wb.dtype)
     acc = jnp.matmul(xb, wb.T, preferred_element_type=jnp.float32)
     y = acc * (sx * sw)            # sw broadcasts over last dim [units]
     if bias is not None:
@@ -214,7 +293,7 @@ def _fc_quant(arrays, metas, params, out_qinfo):
     return q.astype(out_qinfo.dtype.jnp)
 
 
-for _s in _QSCHEMES:
+for _s in _QSCHEMES + _U8_SCHEMES:
     registry.register("conv2d", _conv2d_quant, api=Api.XLA, scheme=_s,
                       quant_direct=True)
     registry.register("group_conv2d", _conv2d_quant, api=Api.XLA, scheme=_s,

@@ -66,6 +66,17 @@ def pack_int4(q):
     return (lo | (hi << 4)).astype(jnp.int8).reshape(K // 2, -1)
 
 
+def pack_int4_t(qt):
+    """[N, K] int8 values in [-8, 7] → [N, K/2] packed bytes (transposed/
+    rearranged weight layout; same per-32-block nibble grouping along K)."""
+    N, K = qt.shape
+    assert K % BLOCK == 0, K
+    q3 = jnp.asarray(qt, jnp.int8).reshape(N, K // BLOCK, BLOCK)
+    lo = q3[:, :, :16].astype(jnp.int32) & 0xF
+    hi = q3[:, :, 16:].astype(jnp.int32) & 0xF
+    return (lo | (hi << 4)).astype(jnp.int8).reshape(N, K // 2)
+
+
 def unpack_int4(packed, K):
     """[K/2, N] packed bytes → [K, N] int8 values in [-8, 7]."""
     p = jnp.asarray(packed, jnp.int8).astype(jnp.int32) & 0xFF
@@ -76,88 +87,186 @@ def unpack_int4(packed, K):
     return jnp.concatenate([lo, hi], axis=1).reshape(K, -1).astype(jnp.int8)
 
 
-def _kernel(x_ref, w_ref, s_ref, out_ref, acc_ref, *, scale_mode: str,
+def unpack_int4_t(packed, K):
+    """[N, K/2] packed bytes → [N, K] int8 values in [-8, 7]."""
+    p = jnp.asarray(packed, jnp.int8).astype(jnp.int32) & 0xFF
+    N = p.shape[0]
+    p3 = p.reshape(N, K // BLOCK, 16)
+    lo = (p3 << 28) >> 28
+    hi = (p3 << 24) >> 28
+    return jnp.concatenate([lo, hi], axis=2).reshape(N, K).astype(jnp.int8)
+
+
+def _kernel(x_ref, w_ref, s_ref, b_ref, out_ref, acc_ref, *, scale_mode: str,
             n_k: int, out_dtype, epilogue_scale: Optional[float],
-            packed_int4: bool = False, bk: int = 0, bn: int = 0):
-    """One (BM, BN) output tile; grid = (M/BM, N/BN, K/BK), K innermost."""
+            packed_int4: bool = False, bk: int = 0, bn: int = 0,
+            w_transposed: bool = False, int_dot: bool = False,
+            has_bias: bool = False, out_zp: float = 0.0,
+            qclip=None):
+    """One (BM, BN) output tile; grid = (M/BM, N/BN, K/BK), K innermost.
+
+    w_transposed: the weight is prepacked [N, K] ("rearranged" layout, the
+    analog of the reference's activation×rearranged-weight GEMMs,
+    ref: gemm_a0nb1r, source/c920_opt/fp16/gemm_fp16_a0nb1.c) — at decode the
+    kernel is HBM-bound on the weight stream, and an [N, K] tile reads bk
+    CONTIGUOUS bytes per row instead of bn-byte strided bursts, which is the
+    difference between partial and full DRAM burst efficiency.
+
+    int_dot: s8×s8→s32 on the MXU integer pipe with an int32 accumulator —
+    for quantized activations (prefill/FC), ~2× the bf16-carrier rate
+    (ref: the reference's int8 GEMM cores,
+    source/thead_rvv/int8/gemm_int8_packn.c:44).  Requires per-channel or
+    no scales (per-K-block scales don't commute with the contraction).
+
+    qclip=(qmin, qmax) + out_zp: fused integer requantize epilogue
+    round→+zp→clip→cast entirely in-register before the single int8 store
+    (ref: requantize_m4_s — vmulh/vssra/+zp/vnclip fused into the GEMM,
+    source/thead_rvv/int8/gemm_int8_packn.c:26-41); a fully-quantized graph
+    then never writes f32 intermediates to HBM between layers."""
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    x = x_ref[:].astype(jnp.bfloat16)
+    def _expand_scales(width, per):
+        """s_full[n,c] = Σ_g s[n,g]·(c//per==g): one-hot MXU matmul — the
+        lane-axis repeat is not lowerable on TPU (minor-dim reshape), and
+        this kernel is HBM-bound so the extra MACs are free."""
+        gid = jax.lax.broadcasted_iota(jnp.int32, (bk // BLOCK, width), 0)
+        kid = jax.lax.broadcasted_iota(jnp.int32, (bk // BLOCK, width), 1)
+        expand = (kid // per == gid).astype(jnp.float32)
+        return jnp.dot(s_ref[:], expand, preferred_element_type=jnp.float32)
 
-    def load_w():
+    def load_w(target):
         if not packed_int4:
-            return w_ref[:].astype(jnp.bfloat16)
+            return w_ref[:].astype(target)
+        assert not w_transposed  # transposed+packed handled by the split dot
         # [BK/2, BN] packed bytes → [BK, BN] (llama.cpp nibble layout: per
         # 32-block, byte j = rows j (lo) | j+16 (hi) — contiguous concat)
-        p = w_ref[:].astype(jnp.int32)
-        p3 = p.reshape(bk // BLOCK, 16, bn)
+        p3 = w_ref[:].astype(jnp.int32).reshape(bk // BLOCK, 16, bn)
         lo = (p3 << 28) >> 28
         hi = ((p3 & 0xFF) << 24) >> 28
         return jnp.concatenate([lo, hi], axis=1).reshape(bk, bn) \
-                  .astype(jnp.bfloat16)
+                  .astype(target)
 
-    if scale_mode == "block":
-        # scales tile [BK//32, BN] f32
-        w = load_w()
-        s = s_ref[:].astype(jnp.bfloat16)
-        # element-repeat each scale row across its 32-row block
-        # (NB: pltpu.repeat tiles the whole array — wrong semantics here)
-        s_full = jnp.repeat(s, BLOCK, axis=0)          # [BK, BN]
-        w = w * s_full
+    if w_transposed and packed_int4:
+        # [BN, BK/2] packed bytes: byte g·16+j holds k=g·32+j (lo nibble) and
+        # k=g·32+16+j (hi).  Unpacking to [BN, BK] needs a lane-merge reshape
+        # Mosaic can't lower — instead split the contraction into the nibble
+        # halves: y += x_lo·(s·w_lo)ᵀ + x_hi·(s·w_hi)ᵀ, with x pre-split
+        # OUTSIDE the kernel (x_lo[m,g·16+j]=x[m,g·32+j]; see quant_matmul).
+        xhi_ref = b_ref                                # arg order: see wrapper
+        p = w_ref[:].astype(jnp.int32)                 # [bn, bk/2]
+        lo = ((p << 28) >> 28).astype(jnp.bfloat16)
+        hi = (((p & 0xFF) << 24) >> 28).astype(jnp.bfloat16)
+        if scale_mode == "block":
+            s_half = _expand_scales(bk // 2, 16).astype(jnp.bfloat16)
+            lo = lo * s_half
+            hi = hi * s_half
+        xlo = x_ref[:].astype(jnp.bfloat16)            # [bm, bk/2]
+        xhi = xhi_ref[:].astype(jnp.bfloat16)
+        dot_t = lambda a, b: jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        acc_ref[:] += dot_t(xlo, lo) + dot_t(xhi, hi)
     else:
-        w = load_w()
-    acc_ref[:] += jnp.dot(x, w, preferred_element_type=jnp.float32)
+        if int_dot:
+            x = x_ref[:]                               # int8
+            w = load_w(jnp.int8)
+            acc_t = jnp.int32
+        else:
+            x = x_ref[:].astype(jnp.bfloat16)
+            if scale_mode == "block":
+                w = load_w(jnp.bfloat16)
+                if w_transposed:
+                    w = w * _expand_scales(bk, BLOCK).astype(jnp.bfloat16)
+                else:
+                    # element-repeat each scale across its 32-row block —
+                    # sublane-axis repeat lowers fine (NB: pltpu.repeat tiles
+                    # the whole array — wrong semantics here)
+                    s = s_ref[:].astype(jnp.bfloat16)
+                    w = w * jnp.repeat(s, BLOCK, axis=0)   # s [BK//32, BN]
+            else:
+                w = load_w(jnp.bfloat16)
+            acc_t = jnp.float32
+        if w_transposed:
+            acc_ref[:] += jax.lax.dot_general(
+                x, w, (((1,), (1,)), ((), ())), preferred_element_type=acc_t)
+        else:
+            acc_ref[:] += jnp.dot(x, w, preferred_element_type=acc_t)
 
     @pl.when(k == n_k - 1)
     def _():
-        acc = acc_ref[:]
+        acc = acc_ref[:].astype(jnp.float32)
         if scale_mode == "channel":
             acc = acc * s_ref[:].astype(jnp.float32)   # [1, BN] broadcast
         if epilogue_scale is not None:
             acc = acc * epilogue_scale
+        if has_bias:
+            acc = acc + b_ref[:].astype(jnp.float32)
+        if qclip is not None:
+            acc = jnp.clip(jnp.round(acc) + out_zp, qclip[0], qclip[1])
         out_ref[:] = acc.astype(out_dtype)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("scale_mode", "out_dtype", "epilogue_scale", "bm", "bn",
-                     "bk", "interpret", "packed_int4"),
+                     "bk", "interpret", "packed_int4", "w_transposed",
+                     "out_zp"),
 )
 def quant_matmul(x, w_q, scales=None, bias=None, *, scale_mode: str = "channel",
                  out_dtype=jnp.float32, epilogue_scale: Optional[float] = None,
                  bm: Optional[int] = None, bn: Optional[int] = None,
                  bk: Optional[int] = None,
-                 interpret: bool = False, packed_int4: bool = False):
-    """y[M,N] = (x[M,K] · dequant(w_q[K,N])) * epilogue_scale + bias.
+                 interpret: bool = False, packed_int4: bool = False,
+                 w_transposed: bool = False, out_zp: float = 0.0):
+    """y[M,N] = (x[M,K] · dequant(w_q)) * epilogue_scale + bias.
 
     x: float (bf16/f32) or int8 carrier (converted exactly to bf16).
     w_q: [K, N] int8 carrier (int4 values occupy [-8,7]), or with
          packed_int4=True a [K/2, N] nibble-packed array (see pack_int4) —
          halves the HBM bytes per weight, the whole point of int4.
-    scales: "channel" → [N]; "block" → [K//32, N] (f16/f32).
+         With w_transposed=True the carrier is prepacked [N, K] (packed:
+         [N, K/2], see pack_int4_t) — the rearranged layout whose HBM reads
+         are contiguous along the K stream (ref: the reference's rearranged-
+         weight GEMMs, source/c920_opt/fp16/gemm_fp16_rearrange.c).
+    scales: "channel" → [N]; "block" → [K//32, N] ([N, K//32] if transposed).
     epilogue_scale: scalar folded activation/output scale
                     (s_x / s_out or s_x·s_w — per requantize_float).
-    bias: [N] f32 added after scaling (zp-corrections prefolded by caller).
+    bias: [N] f32, fused into the epilogue before any integer rounding
+          (zp-corrections prefolded by caller).
+    out_dtype=int8/uint8/int32 + out_zp: fused requantize epilogue —
+          round(acc·scales)+zp, clipped to the dtype range, stored as the
+          integer directly (no f32 intermediate in HBM).
+    Integer MXU: when x is an int8 carrier and scales are per-channel/none,
+          the dot runs s8×s8→s32 on the integer pipe (bit-exact, ~2× bf16).
     """
     M, K = x.shape
-    if packed_int4:
+    if w_transposed:
+        N = w_q.shape[0]
+        K2 = 2 * w_q.shape[1] if packed_int4 else w_q.shape[1]
+    elif packed_int4:
         K2, N = 2 * w_q.shape[0], w_q.shape[1]
     else:
         K2, N = w_q.shape
-    assert K == K2, (x.shape, w_q.shape, packed_int4)
+    assert K == K2, (x.shape, w_q.shape, packed_int4, w_transposed)
 
     if bm is None or bn is None or bk is None:
         if M <= 16:
-            # decode shapes are weight-read-bound: deep K tiles keep the DMA
-            # engine streaming (measured on v5e at [1,4096]×[4096,11008]
-            # q8_0: bk=2048/bn=256 is 3.3× bk=512, near HBM speed-of-light)
+            # decode shapes are weight-read-bound: WIDE-N tiles make every
+            # DMA row a long contiguous burst of the row-major [K, N] weight
+            # (measured on v5e at [1,4096]×[4096,11008] q8_0: bn=5504/bk=1024
+            # hits 890 GiB/s effective — full HBM speed-of-light — vs
+            # 483 GiB/s for the narrow bn=256/bk=2048 tiling); cap the tile
+            # at ~6 MiB so the double-buffered pipeline fits VMEM
             bm = bm or 8
-            bn = bn or 256
-            bk = bk or 2048
+            bk = bk or 1024
+            if bn is None:
+                bn = _round_up(N, 128)
+                wbytes = 0.5 if packed_int4 else 1.0
+                while bn * bk * wbytes > 6 * 2**20 and bn > 512:
+                    bn = _round_up(bn // 2, 128)
         else:
             bm = bm or 256
             bn = bn or 256
@@ -168,10 +277,21 @@ def quant_matmul(x, w_q, scales=None, bias=None, *, scale_mode: str = "channel",
     bk = min(bk, _round_up(K, 128))
     if packed_int4:
         assert K % BLOCK == 0 and bk % BLOCK == 0, (K, bk)
+    if w_transposed and scale_mode == "block":
+        # the [bn, bk/32] scales block must itself be lowerable: its last dim
+        # needs to be a multiple of 128 or cover the whole K/32 axis
+        if (bk // BLOCK) % 128 != 0 and bk < K:
+            bk = min(_round_up(K, 128), 128 * BLOCK)
     Mp, Kp, Np = _round_up(M, bm), _round_up(K, bk), _round_up(N, bn)
 
     x = jnp.pad(x, ((0, Mp - M), (0, Kp - K))) if (Mp != M or Kp != K) else x
-    if packed_int4:
+    if w_transposed:
+        kdim = (Kp // 2, bk // 2) if packed_int4 else (Kp, bk)
+        if w_q.shape != (Np, kdim[0]):
+            w_q = jnp.pad(w_q, ((0, Np - N), (0, kdim[0] - w_q.shape[1])))
+        w_spec = pl.BlockSpec((bn, kdim[1]), lambda i, j, k: (j, k),
+                              memory_space=pltpu.VMEM)
+    elif packed_int4:
         if Kp != K or Np != N:
             w_q = jnp.pad(w_q, ((0, (Kp - K) // 2), (0, Np - N)))
         w_spec = pl.BlockSpec((bk // 2, bn), lambda i, j, k: (k, j),
@@ -185,10 +305,22 @@ def quant_matmul(x, w_q, scales=None, bias=None, *, scale_mode: str = "channel",
     n_k = Kp // bk
     grid = (Mp // bm, Np // bn, n_k)
 
-    in_specs = [
-        pl.BlockSpec((bm, bk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
-        w_spec,
-    ]
+    xhi = None
+    if w_transposed and packed_int4:
+        # pre-split x into nibble-halves (see _kernel): XLA does the reorder
+        # once on the (tiny at decode) activation.  xlo rides the x slot,
+        # xhi rides the bias slot (bias unsupported in this mode).
+        assert bias is None, "bias not supported with transposed packed int4"
+        x3 = x.reshape(Mp, Kp // BLOCK, BLOCK)
+        xhi = x3[:, :, 16:].reshape(Mp, Kp // 2)
+        x = x3[:, :, :16].reshape(Mp, Kp // 2)
+        x_spec = pl.BlockSpec((bm, bk // 2), lambda i, j, k: (i, k),
+                              memory_space=pltpu.VMEM)
+    else:
+        x_spec = pl.BlockSpec((bm, bk), lambda i, j, k: (i, k),
+                              memory_space=pltpu.VMEM)
+
+    in_specs = [x_spec, w_spec]
     args = [x, w_q]
     if scale_mode == "channel":
         s = jnp.asarray(scales, jnp.float32).reshape(1, -1)
@@ -198,17 +330,55 @@ def quant_matmul(x, w_q, scales=None, bias=None, *, scale_mode: str = "channel",
         args.append(s)
     elif scale_mode == "block":
         s = jnp.asarray(scales, jnp.float32)
-        assert s.shape == (K // BLOCK, N), (s.shape, (K // BLOCK, N))
-        s = jnp.pad(s, ((0, Kp // BLOCK - s.shape[0]), (0, Np - N))) \
-            if (Kp != K or Np != N) else s
-        in_specs.append(pl.BlockSpec((bk // BLOCK, bn), lambda i, j, k: (k, j),
-                                     memory_space=pltpu.VMEM))
+        if w_transposed:
+            assert s.shape == (N, K // BLOCK), (s.shape, (N, K // BLOCK))
+            s = jnp.pad(s, ((0, Np - N), (0, Kp // BLOCK - s.shape[1]))) \
+                if (Kp != K or Np != N) else s
+            in_specs.append(pl.BlockSpec((bn, bk // BLOCK),
+                                         lambda i, j, k: (j, k),
+                                         memory_space=pltpu.VMEM))
+        else:
+            assert s.shape == (K // BLOCK, N), (s.shape, (K // BLOCK, N))
+            s = jnp.pad(s, ((0, Kp // BLOCK - s.shape[0]), (0, Np - N))) \
+                if (Kp != K or Np != N) else s
+            in_specs.append(pl.BlockSpec((bk // BLOCK, bn),
+                                         lambda i, j, k: (k, j),
+                                         memory_space=pltpu.VMEM))
         args.append(s)
     else:
         assert scale_mode == "none"
         in_specs.append(pl.BlockSpec((1, 1), lambda i, j, k: (0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(jnp.zeros((1, 1), jnp.float32))
+
+    has_bias = bias is not None
+    if xhi is not None:
+        # transposed packed int4: the high-nibble activation half rides the
+        # bias input slot
+        in_specs.append(pl.BlockSpec((bm, bk // 2), lambda i, j, k: (i, k),
+                                     memory_space=pltpu.VMEM))
+        args.append(xhi)
+    elif has_bias:
+        b = jnp.asarray(bias, jnp.float32).reshape(1, -1)
+        b = jnp.pad(b, ((0, 0), (0, Np - N))) if Np != N else b
+        in_specs.append(pl.BlockSpec((1, bn), lambda i, j, k: (0, j),
+                                     memory_space=pltpu.VMEM))
+        args.append(b)
+    else:
+        in_specs.append(pl.BlockSpec((1, 1), lambda i, j, k: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(jnp.zeros((1, 1), jnp.float32))
+
+    # integer MXU path: exact and ~2× the bf16 rate; valid when scales factor
+    # out of the K-contraction (per-channel/none, not per-K-block)
+    int_dot = (x.dtype == jnp.int8 and w_q.dtype == jnp.int8
+               and scale_mode in ("channel", "none")
+               and not (packed_int4 and w_transposed))
+    odt = jnp.dtype(out_dtype)
+    qclip = None
+    if jnp.issubdtype(odt, jnp.integer) and odt != jnp.int32:
+        info = jnp.iinfo(odt)
+        qclip = (float(info.min), float(info.max))
 
     flops = 2 * Mp * Np * Kp
     bytes_accessed = (x.size * x.dtype.itemsize + w_q.size * w_q.dtype.itemsize
@@ -217,13 +387,16 @@ def quant_matmul(x, w_q, scales=None, bias=None, *, scale_mode: str = "channel",
     out = pl.pallas_call(
         functools.partial(_kernel, scale_mode=scale_mode, n_k=n_k,
                           out_dtype=out_dtype, epilogue_scale=epilogue_scale,
-                          packed_int4=packed_int4, bk=bk, bn=bn),
+                          packed_int4=packed_int4, bk=bk, bn=bn,
+                          w_transposed=w_transposed, int_dot=int_dot,
+                          has_bias=has_bias, out_zp=out_zp, qclip=qclip),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bm, bn),
+                                   jnp.int32 if int_dot else jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -232,17 +405,25 @@ def quant_matmul(x, w_q, scales=None, bias=None, *, scale_mode: str = "channel",
         interpret=interpret,
     )(*args)
 
-    out = out[:M, :N]
-    if bias is not None:
-        out = out + jnp.asarray(bias, out.dtype)
-    return out
+    return out[:M, :N]
 
 
 def quant_matmul_ref(x, w_q, scales=None, bias=None, *, scale_mode="channel",
                      out_dtype=jnp.float32, epilogue_scale=None,
-                     packed_int4: bool = False):
+                     packed_int4: bool = False, w_transposed: bool = False,
+                     out_zp: float = 0.0):
     """Plain-XLA reference of the same contraction (for tests and CPU)."""
     x = jnp.asarray(x, jnp.float32)
+    if w_transposed:
+        # normalize to the [K, N] view (scales [N, K/32] → [K/32, N])
+        if packed_int4:
+            w_q = unpack_int4_t(w_q, x.shape[-1])
+        w_q = jnp.asarray(w_q).T
+        if scale_mode == "block":
+            scales = jnp.asarray(scales).T
+        return quant_matmul_ref(x, w_q, scales, bias, scale_mode=scale_mode,
+                                out_dtype=out_dtype,
+                                epilogue_scale=epilogue_scale, out_zp=out_zp)
     if packed_int4:
         w_q = unpack_int4(w_q, x.shape[-1])
     w = jnp.asarray(w_q, jnp.float32)
@@ -258,4 +439,8 @@ def quant_matmul_ref(x, w_q, scales=None, bias=None, *, scale_mode="channel",
         acc = acc * epilogue_scale
     if bias is not None:
         acc = acc + jnp.asarray(bias, jnp.float32)
+    odt = jnp.dtype(out_dtype)
+    if jnp.issubdtype(odt, jnp.integer) and odt != jnp.int32:
+        info = jnp.iinfo(odt)
+        acc = jnp.clip(jnp.round(acc) + out_zp, info.min, info.max)
     return acc.astype(out_dtype)

@@ -90,64 +90,94 @@ class InferenceEngine:
 
     def __init__(self, cfg: LlamaConfig, params, batch: int = 1,
                  quantized_kv: bool = False, kv_scale: float = 0.05,
-                 use_pallas: Optional[bool] = None, fuse_weights: bool = True):
+                 use_pallas: Optional[bool] = None, fuse_weights: bool = True,
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh with ("dp", "tp") axes —
+        TP-composed serving (BASELINE config 5): weights/cache/decode are
+        sharded and every engine phase runs under shard_map (so the Pallas
+        kernels operate on local shards).  tp shards heads/ffn/vocab; dp
+        shards the slot batch (batch % dp == 0).  Weight fusion interleaves
+        the fused axis per tp-shard so fusion and TP compose."""
         self.cfg = cfg
+        self.mesh = mesh
+        tp = int(mesh.shape["tp"]) if mesh is not None else 1
+        dp = int(mesh.shape["dp"]) if mesh is not None else 1
         if fuse_weights:
             # one dequant-GEMM for q|k|v and one for w1|w3: at decode each
             # Pallas launch has a fixed pipeline-warmup cost, so 7→4 matmuls
             # per layer is a direct tokens/s win
             from csinn2_tpu.llm.model import fuse_params
-            params = fuse_params(params)
-        self.params = params
+            params = fuse_params(params, tp=tp)
         self.batch = batch
         self.use_pallas = use_pallas
         self.cache = KVCache.create(cfg, batch, quantized=quantized_kv,
                                     scale=kv_scale)
         self.slots = [Slot(id=i) for i in range(batch)]
 
-        cfg_static = cfg
+        tp_axis = None
+        lcfg = cfg
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from csinn2_tpu.parallel.tp import (local_config, param_specs,
+                                                shard_llama_params)
+            assert batch % dp == 0, (batch, dp)
+            params = shard_llama_params(params, mesh)
+            self._pspecs = param_specs(params)
+            self._cspec = KVCache(k=P(None, "dp", None, "tp", None),
+                                  v=P(None, "dp", None, "tp", None),
+                                  scale=self.cache.scale)
+            self.cache = KVCache(
+                k=jax.device_put(self.cache.k, NamedSharding(mesh, self._cspec.k)),
+                v=jax.device_put(self.cache.v, NamedSharding(mesh, self._cspec.v)),
+                scale=self.cache.scale)
+            lcfg = local_config(cfg, tp)
+            tp_axis = "tp"
+        self.params = params
 
-        @functools.partial(jax.jit, static_argnames=("s",), donate_argnums=(1,))
-        def _prefill(params, cache, tokens, slot, s):
+        cfg_static = lcfg
+
+        def _prefill_local(params, cache, tokens, slot, s):
             """Admit one prompt: forward on a [L,1,bucket,...] slice of the
             cache, scatter the rows back in place (donated cache → no copy of
             the full buffer; ref contrast: the reference re-mallocs per node,
-            op_run_init, source/graph_ref/setup.c:1125)."""
+            op_run_init, source/graph_ref/setup.c:1125).  Under dp sharding,
+            `slot` is global: only the owning dp group scatters (lax.cond);
+            the forward itself is replicated across dp (same tokens)."""
             bound = min(-(-s // 256) * 256, cfg_static.max_seq_len)
+            b_loc = cache.k.shape[1]
+            local = slot % b_loc
             sub = KVCache(
                 k=jax.lax.dynamic_slice(
-                    cache.k, (0, slot, 0, 0, 0),
+                    cache.k, (0, local, 0, 0, 0),
                     (cache.k.shape[0], 1, bound) + cache.k.shape[3:]),
                 v=jax.lax.dynamic_slice(
-                    cache.v, (0, slot, 0, 0, 0),
+                    cache.v, (0, local, 0, 0, 0),
                     (cache.v.shape[0], 1, bound) + cache.v.shape[3:]),
                 scale=cache.scale)
             logits, sub = llama_forward(params, tokens, sub, 0, cfg_static,
-                                        use_pallas, kv_bound=bound)
-            k = jax.lax.dynamic_update_slice(cache.k, sub.k, (0, slot, 0, 0, 0))
-            v = jax.lax.dynamic_update_slice(cache.v, sub.v, (0, slot, 0, 0, 0))
-            return logits, KVCache(k=k, v=v, scale=cache.scale)
+                                        use_pallas, tp_axis=tp_axis,
+                                        kv_bound=bound)
 
-        @functools.partial(jax.jit, static_argnames=("kv_bound",),
-                           donate_argnums=(1,))
-        def _decode(params, cache, tokens, pos_vec, kv_bound=None):
-            """tokens [B, 1]; pos_vec [B] per-slot positions."""
-            logits, cache = _batched_decode_forward(params, tokens, cache,
-                                                    pos_vec, cfg_static,
-                                                    use_pallas,
-                                                    kv_bound=kv_bound)
+            def scatter(c):
+                k = jax.lax.dynamic_update_slice(c.k, sub.k, (0, local, 0, 0, 0))
+                v = jax.lax.dynamic_update_slice(c.v, sub.v, (0, local, 0, 0, 0))
+                return KVCache(k=k, v=v, scale=c.scale)
+
+            if tp_axis is None:
+                cache = scatter(cache)
+            else:
+                mine = jax.lax.axis_index("dp") == slot // b_loc
+                cache = jax.lax.cond(mine, scatter, lambda c: c, cache)
             return logits, cache
 
-        self._prefill_fn = _prefill
-        self._decode_fn = _decode
+        def _decode_local(params, cache, tokens, pos_vec, kv_bound):
+            """tokens [B, 1]; pos_vec [B] per-slot positions."""
+            return _batched_decode_forward(params, tokens, cache, pos_vec,
+                                           cfg_static, use_pallas,
+                                           kv_bound=kv_bound, tp_axis=tp_axis)
 
-        @functools.partial(jax.jit,
-                           static_argnames=("n_steps", "greedy", "kv_bound",
-                                            "top_k"),
-                           donate_argnums=(1,))
-        def _decode_scan(params, cache, first_tok, pos0, key, n_steps,
-                         greedy, temperature, kv_bound=None, top_k=0,
-                         top_p=1.0):
+        def _decode_scan_local(params, cache, first_tok, pos0, key, n_steps,
+                               greedy, temperature, kv_bound, top_k, top_p):
             """Generate n_steps tokens for the WHOLE batch in ONE executable:
             lax.scan carries (tokens[B], pos[B], cache, rng) and samples
             on-device (greedy/temperature/top-k/top-p, llm/sampling.py).
@@ -162,7 +192,7 @@ class InferenceEngine:
                 tok, pos, cache, key = carry
                 logits, cache = _batched_decode_forward(
                     params, tok[:, None], cache, pos, cfg_static, use_pallas,
-                    kv_bound=kv_bound)
+                    kv_bound=kv_bound, tp_axis=tp_axis)
                 lg = logits[:, 0].astype(jnp.float32)          # [B, V]
                 key, sub = jax.random.split(key)
                 nxt = sample_logits(lg, sub, temperature=temperature,
@@ -173,6 +203,78 @@ class InferenceEngine:
                 body, (first_tok, pos0, cache, key), None, length=n_steps)
             return toks, cache                                  # toks [n, B]
 
+        if mesh is None:
+            @functools.partial(jax.jit, static_argnames=("s",),
+                               donate_argnums=(1,))
+            def _prefill(params, cache, tokens, slot, s):
+                return _prefill_local(params, cache, tokens, slot, s)
+
+            @functools.partial(jax.jit, static_argnames=("kv_bound",),
+                               donate_argnums=(1,))
+            def _decode(params, cache, tokens, pos_vec, kv_bound=None):
+                return _decode_local(params, cache, tokens, pos_vec, kv_bound)
+
+            @functools.partial(jax.jit,
+                               static_argnames=("n_steps", "greedy",
+                                                "kv_bound", "top_k"),
+                               donate_argnums=(1,))
+            def _decode_scan(params, cache, first_tok, pos0, key, n_steps,
+                             greedy, temperature, kv_bound=None, top_k=0,
+                             top_p=1.0):
+                return _decode_scan_local(params, cache, first_tok, pos0, key,
+                                          n_steps, greedy, temperature,
+                                          kv_bound, top_k, top_p)
+        else:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+            pspecs, cspec = self._pspecs, self._cspec
+            rep = P()
+
+            @functools.partial(jax.jit, static_argnames=("s",),
+                               donate_argnums=(1,))
+            def _prefill(params, cache, tokens, slot, s):
+                fn = shard_map(
+                    functools.partial(_prefill_local, s=s),
+                    mesh=mesh,
+                    in_specs=(pspecs, cspec, rep, rep),
+                    out_specs=(P(None, None, None), cspec), check_vma=False)
+                return fn(params, cache, tokens, slot)
+
+            @functools.partial(jax.jit, static_argnames=("kv_bound",),
+                               donate_argnums=(1,))
+            def _decode(params, cache, tokens, pos_vec, kv_bound=None):
+                fn = shard_map(
+                    functools.partial(_decode_local, kv_bound=kv_bound),
+                    mesh=mesh,
+                    in_specs=(pspecs, cspec, P("dp", None), P("dp")),
+                    out_specs=(P("dp", None, None), cspec), check_vma=False)
+                return fn(params, cache, tokens, pos_vec)
+
+            @functools.partial(jax.jit,
+                               static_argnames=("n_steps", "greedy",
+                                                "kv_bound", "top_k"),
+                               donate_argnums=(1,))
+            def _decode_scan(params, cache, first_tok, pos0, key, n_steps,
+                             greedy, temperature, kv_bound=None, top_k=0,
+                             top_p=1.0):
+                tspec = P("dp") if jnp.ndim(temperature) else rep
+
+                def _shard_body(params, cache, first_tok, pos0, key,
+                                temperature, top_p):
+                    return _decode_scan_local(params, cache, first_tok, pos0,
+                                              key, n_steps, greedy,
+                                              temperature, kv_bound, top_k,
+                                              top_p)
+
+                fn = shard_map(
+                    _shard_body, mesh=mesh,
+                    in_specs=(pspecs, cspec, P("dp"), P("dp"), rep, tspec, rep),
+                    out_specs=(P(None, "dp"), cspec), check_vma=False)
+                return fn(params, cache, first_tok, pos0, key, temperature,
+                          top_p)
+
+        self._prefill_fn = _prefill
+        self._decode_fn = _decode
         self._decode_scan_fn = _decode_scan
 
     # -- phases ----------------------------------------------------------------
@@ -396,12 +498,17 @@ class InferenceEngine:
 
 
 def _batched_decode_forward(params, tokens, cache, pos_vec, cfg, use_pallas,
-                            kv_bound: Optional[int] = None):
+                            kv_bound: Optional[int] = None,
+                            tp_axis: Optional[str] = None):
     """Decode with per-row positions: like llama_forward at s=1 but pos is a
     vector [B].  RoPE and masking consume per-row positions; the KV store
     scatters each row at its own pos; attention runs through the flash kernel
     with per-row (q_offset, kv_len) lens (kernels/flash_attention.py) so
-    lanes at different depths share one executable."""
+    lanes at different depths share one executable.
+
+    tp_axis: set inside shard_map — cfg is then the LOCAL config (heads/ffn
+    divided by tp); one psum after wo and after w2, all_gather on the
+    vocab-sharded lm_head (same collective budget as llama_forward)."""
     from csinn2_tpu.llm.model import KVCache, linear, rms_norm, rope_rotate
 
     if use_pallas is None:
@@ -433,7 +540,7 @@ def _batched_decode_forward(params, tokens, cache, pos_vec, cfg, use_pallas,
         return KVCache(k=k, v=v, scale=cache.scale)
 
     hq, hk, dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
-    D = cfg.dim
+    D = hq * dh                  # local attn width (== cfg.dim when tp == 1)
     for i, lp in enumerate(params["layers"]):
         h = rms_norm(x, lp["attn_norm"], cfg.norm_eps).astype(jnp.bfloat16)
         if "wqkv" in lp:
@@ -483,7 +590,10 @@ def _batched_decode_forward(params, tokens, cache, pos_vec, cfg, use_pallas,
             probs = jax.nn.softmax(logits, axis=-1)
             attn = jnp.einsum("bhqk,bkhd->bqhd", probs, vf)   # [b, 1, hq, dh]
         attn = attn.reshape(b, 1, D).astype(jnp.bfloat16)
-        x = x + linear(attn, lp["wo"], use_pallas=use_pallas).astype(x.dtype)
+        wo_out = linear(attn, lp["wo"], use_pallas=use_pallas)
+        if tp_axis is not None:
+            wo_out = jax.lax.psum(wo_out, tp_axis)
+        x = x + wo_out.astype(x.dtype)
 
         h = rms_norm(x, lp["ffn_norm"], cfg.norm_eps).astype(jnp.bfloat16)
         if "w13" in lp:
@@ -494,8 +604,13 @@ def _batched_decode_forward(params, tokens, cache, pos_vec, cfg, use_pallas,
             h1 = linear(h, lp["w1"], use_pallas=use_pallas)
             h3 = linear(h, lp["w3"], use_pallas=use_pallas)
         hsw = (jax.nn.silu(h1) * h3).astype(jnp.bfloat16)
-        x = x + linear(hsw, lp["w2"], use_pallas=use_pallas).astype(x.dtype)
+        w2_out = linear(hsw, lp["w2"], use_pallas=use_pallas)
+        if tp_axis is not None:
+            w2_out = jax.lax.psum(w2_out, tp_axis)
+        x = x + w2_out.astype(x.dtype)
 
     x = rms_norm(x, params["norm"], cfg.norm_eps).astype(jnp.bfloat16)
     logits = linear(x, params["output"], use_pallas=use_pallas)
+    if tp_axis is not None:   # vocab-sharded lm_head
+        logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
     return logits, cache

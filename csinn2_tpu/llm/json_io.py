@@ -83,14 +83,17 @@ def load_llm(path: str) -> Tuple[LlamaConfig, dict]:
         "output": get("output"),
         "layers": [],
     }
-    i = 0
-    while f"layers.{i}.attn_norm" in arrays or f"layers.{i}.attn_norm" in modes \
-            or f"layers.{i}.attn_norm.values" in arrays:
-        lp = {}
-        for k in ("attn_norm", "ffn_norm", "wq", "wk", "wv", "wo",
-                  "w1", "w2", "w3"):
-            lp[k] = get(f"layers.{i}.{k}")
-        params["layers"].append(lp)
-        i += 1
+    # derive each layer's key set from what was actually saved (MoE gate,
+    # stacked expert weights, fused wqkv/w13 all round-trip — nothing is
+    # dropped by a fixed key list)
+    layer_keys: Dict[int, set] = {}
+    for name in set(arrays) | set(modes):
+        if not name.startswith("layers."):
+            continue
+        _, idx, key = name.split(".")[:3]
+        layer_keys.setdefault(int(idx), set()).add(key)
+    for i in sorted(layer_keys):
+        params["layers"].append({k: get(f"layers.{i}.{k}")
+                                 for k in sorted(layer_keys[i])})
     bm.close()
     return cfg, params

@@ -111,35 +111,49 @@ def _maybe_pack(qw: QWeight) -> QWeight:
                    mode=qw.mode, packed=True)
 
 
-def qweight_concat(qws) -> QWeight:
+def qweight_concat(qws, tp: int = 1) -> QWeight:
     """Concatenate QWeights along the output (N) axis — same K/mode/packing.
     Used to fuse wq|wk|wv and w1|w3 into single dequant-GEMMs: at decode the
     per-kernel launch + pipeline-warmup cost is paid once per fused matmul,
-    and the DMA streams one bigger weight instead of several small ones."""
+    and the DMA streams one bigger weight instead of several small ones.
+
+    tp > 1: TP-aware interleave — the fused N axis is laid out
+    [q₀|k₀|v₀ | q₁|k₁|v₁ | …] per tp-shard, so a plain P(None, "tp") column
+    sharding hands every device ITS OWN heads' slices of all three weights
+    (a naive [q|k|v] concat would give shard 0 only q-columns)."""
     m0 = qws[0]
     assert all(q.mode == m0.mode and q.packed == m0.packed for q in qws)
-    vals = jnp.concatenate([q.values for q in qws], axis=-1)
-    scales = None if m0.scales is None else jnp.concatenate(
-        [q.scales for q in qws], axis=-1)
+
+    def cat(parts):
+        if tp == 1:
+            return jnp.concatenate(parts, axis=-1)
+        chunked = [p.reshape(*p.shape[:-1], tp, p.shape[-1] // tp)
+                   for p in parts]
+        out = jnp.concatenate(chunked, axis=-1)          # [..., tp, ΣN/tp]
+        return out.reshape(*out.shape[:-2], -1)
+
+    vals = cat([q.values for q in qws])
+    scales = None if m0.scales is None else cat([q.scales for q in qws])
     return QWeight(values=vals, scales=scales, mode=m0.mode, packed=m0.packed)
 
 
-def fuse_layer_weights(lp: Dict) -> Dict:
+def fuse_layer_weights(lp: Dict, tp: int = 1) -> Dict:
     """Derived per-layer weights: wqkv = [wq|wk|wv], w13 = [w1|w3]
-    (dense FFN only).  attention_block/ffn_block use them when present."""
+    (dense FFN only).  attention_block/ffn_block use them when present.
+    tp > 1 interleaves the fused axis per tp-shard (see qweight_concat)."""
     out = dict(lp)
     if all(k in lp for k in ("wq", "wk", "wv")):
-        out["wqkv"] = qweight_concat([lp["wq"], lp["wk"], lp["wv"]])
+        out["wqkv"] = qweight_concat([lp["wq"], lp["wk"], lp["wv"]], tp=tp)
         out.pop("wq"), out.pop("wk"), out.pop("wv")
     if "w1" in lp and "w3" in lp and "gate" not in lp:
-        out["w13"] = qweight_concat([lp["w1"], lp["w3"]])
+        out["w13"] = qweight_concat([lp["w1"], lp["w3"]], tp=tp)
         out.pop("w1"), out.pop("w3")
     return out
 
 
-def fuse_params(params: Dict) -> Dict:
+def fuse_params(params: Dict, tp: int = 1) -> Dict:
     return {**params,
-            "layers": [fuse_layer_weights(lp) for lp in params["layers"]]}
+            "layers": [fuse_layer_weights(lp, tp=tp) for lp in params["layers"]]}
 
 
 def linear(x, qw: QWeight, *, use_pallas: Optional[bool] = None):
@@ -497,7 +511,8 @@ def _expert_slice(qw: QWeight, e: int) -> QWeight:
 
 
 def moe_ffn_block(x, layer_params, cfg: LlamaConfig, use_pallas=None,
-                  ep_axis: Optional[str] = None):
+                  ep_axis: Optional[str] = None,
+                  tp_axis: Optional[str] = None):
     """Top-k routed mixture-of-experts SwiGLU FFN (net-new vs reference;
     SURVEY.md §2 parallelism mandate — EP is the expert-sharding axis).
 
@@ -529,6 +544,8 @@ def moe_ffn_block(x, layer_params, cfg: LlamaConfig, use_pallas=None,
         h = (jax.nn.silu(h1) * h3).astype(jnp.bfloat16)
         y = linear(h, _expert_slice(layer_params["w2"], le), use_pallas=use_pallas)
         out = out + wts[..., le:le + 1] * y.astype(jnp.float32)
+    if tp_axis is not None:       # w1/w3 col-, w2 row-sharded within experts
+        out = jax.lax.psum(out, tp_axis)
     if ep_axis is not None:
         out = jax.lax.psum(out, ep_axis)
     return out
@@ -555,7 +572,7 @@ def llama_forward(params, tokens, cache: KVCache, pos, cfg: LlamaConfig,
         h = rms_norm(x, lp["ffn_norm"], cfg.norm_eps)
         if "gate" in lp:
             ffn_out = moe_ffn_block(h.astype(jnp.bfloat16), lp, cfg,
-                                    use_pallas, ep_axis)
+                                    use_pallas, ep_axis, tp_axis)
         else:
             ffn_out = ffn_block(h.astype(jnp.bfloat16), lp, use_pallas, tp_axis)
         x = x + ffn_out.astype(x.dtype)

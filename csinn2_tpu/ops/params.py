@@ -285,6 +285,9 @@ class SDPAParams(ParamsBase):
     norm_factor: float = 0.0   # 0 → 1/sqrt(head_dim)
     causal: bool = True
     pos_offset: int = 0        # kv positions already in cache (decode)
+    kv_len: int = 0            # valid kv entries (0 → all of sk); with
+                               # pos_offset this is the graph-mode route to
+                               # decode over a static, partially-filled cache
 
 
 @dataclasses.dataclass

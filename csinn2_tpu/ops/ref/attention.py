@@ -70,13 +70,24 @@ def scaled_dot_product_attention(q, k, v, params: SDPAParams):
         v = jnp.repeat(v, rep, axis=1)
     scale = params.norm_factor if params.norm_factor else 1.0 / math.sqrt(d)
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=_f) * scale
+    sk = k.shape[2]
+    kpos = jnp.arange(sk)[None, :]
+    explicit = bool(getattr(params, "kv_len", 0) or params.pos_offset)
+    kv_len = getattr(params, "kv_len", 0) or sk
+    mask = None
     if params.causal:
-        sk = k.shape[2]
-        qpos = jnp.arange(sq)[:, None] + (sk - sq)
-        kpos = jnp.arange(sk)[None, :]
+        # explicit pos_offset/kv_len: decode over a static partially-filled
+        # cache; otherwise legacy offset-by-(sk-sq) semantics
+        q_off = params.pos_offset if explicit else (sk - sq)
+        qpos = jnp.arange(sq)[:, None] + q_off
         mask = kpos <= qpos
+    if explicit:
+        valid = jnp.broadcast_to(kpos < kv_len, (sq, sk))
+        mask = valid if mask is None else (mask & valid)
+    if mask is not None:
         logits = jnp.where(mask[None, None], logits, -jnp.inf)
     probs = jax.nn.softmax(logits, axis=-1)
+    probs = jnp.nan_to_num(probs)     # fully-masked rows → 0 attention
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=_f)
 
 

@@ -30,3 +30,47 @@ def make_mesh(tp: Optional[int] = None, dp: Optional[int] = None,
     assert dp * tp == n, f"dp({dp})*tp({tp}) != devices({n})"
     arr = np.asarray(devices).reshape(dp, tp)
     return Mesh(arr, axis_names=("dp", "tp"))
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Multi-host bring-up: jax.distributed.initialize (idempotent).
+
+    With no arguments, cluster-environment autodetection applies (TPU pod
+    metadata / SLURM / env vars) — the standard JAX multi-controller model:
+    one process per host, each seeing its local chips, jax.devices() global.
+    Returns process_count.  (Net-new vs the single-process reference —
+    SURVEY.md §2 parallelism accounting; mandated by BASELINE config 5.)"""
+    if jax.process_count() > 1:
+        return jax.process_count()          # already initialized
+    try:
+        jax.distributed.initialize(coordinator_address, num_processes,
+                                   process_id)
+    except (ValueError, RuntimeError) as e:
+        # single-process run (no coordinator/env): stay local
+        if num_processes not in (None, 1):
+            raise
+    return jax.process_count()
+
+
+def make_multihost_mesh(tp: Optional[int] = None,
+                        dp: Optional[int] = None) -> Mesh:
+    """(dp, tp) mesh over a multi-host slice: tp stays INSIDE a host so its
+    per-layer psums ride ICI; dp spans hosts so only the (infrequent)
+    batch-axis collectives cross DCN — the scaling-book placement rule.
+    Falls back to make_mesh on a single process."""
+    nproc = jax.process_count()
+    local = jax.local_device_count()
+    if nproc == 1:
+        return make_mesh(tp=tp, dp=dp)
+    tp = tp or local
+    assert tp <= local and local % tp == 0, \
+        f"tp={tp} must divide the {local} per-host chips (ICI domain)"
+    dp_local = local // tp
+    want_dp = nproc * dp_local
+    assert dp in (None, want_dp), f"dp={dp} != processes×(local/tp)={want_dp}"
+    from jax.experimental import mesh_utils
+    devs = mesh_utils.create_hybrid_device_mesh(
+        (dp_local, tp), (nproc, 1))         # ici shape × dcn shape
+    return Mesh(devs, axis_names=("dp", "tp"))

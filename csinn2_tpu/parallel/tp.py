@@ -43,47 +43,61 @@ def local_config(cfg: LlamaConfig, tp: int) -> LlamaConfig:
                                ffn_dim=cfg.ffn_dim // tp)
 
 
-def _qw_spec_for(qw: QWeight, col_sharded: bool, axis: str = "tp") -> QWeight:
+def _qw_spec_for(qw: QWeight, col_sharded: bool, axis: str = "tp",
+                 ep_axis: Optional[str] = None) -> QWeight:
+    """PartitionSpec QWeight for a 2-D [K, N] weight (dense) or 3-D [E, K, N]
+    stacked-expert weight (MoE; E sharded over ep_axis when given) —
+    col_sharded splits N over `axis`, else K (row)."""
     from csinn2_tpu.llm.model import FLOAT, INT4_CHANNEL, INT8_CHANNEL
+    moe = hasattr(qw.values, "ndim") and qw.values.ndim == 3
+    e = (ep_axis,) if moe else ()
     if col_sharded:
-        v = P(None, axis)
+        v = P(*e, None, axis)
         if qw.mode == FLOAT:
             s = None
         elif qw.mode in (INT8_CHANNEL, INT4_CHANNEL):
-            s = P(axis)            # [N]
+            s = P(*e, axis)            # [N]
         else:
-            s = P(None, axis)      # [K/32, N]
+            s = P(*e, None, axis)      # [K/32, N]
     else:
-        v = P(axis, None)
+        v = P(*e, axis, None)
         if qw.mode == FLOAT:
             s = None
         elif qw.mode in (INT8_CHANNEL, INT4_CHANNEL):
-            s = P()                # [N] replicated
+            s = P(*e)                  # [N] replicated over tp
         else:
-            s = P(axis, None)      # [K/32, N]
+            s = P(*e, axis, None)      # [K/32, N]
     return QWeight(values=v, scales=s, mode=qw.mode, packed=qw.packed)
 
 
-def param_specs(params) -> dict:
-    """PartitionSpec pytree for a Llama params pytree."""
+def param_specs(params, axis: str = "tp", ep_axis: Optional[str] = None) -> dict:
+    """PartitionSpec pytree for a Llama params pytree.  Handles the fused
+    wqkv/w13 weights (their N axis is tp-interleaved by fuse_params(tp=…),
+    so plain column sharding is correct) and MoE layers (gate replicated,
+    stacked expert weights sharded over ep_axis and, within each expert,
+    over tp — TP×EP composition)."""
+    col = dict(col_sharded=True, axis=axis, ep_axis=ep_axis)
+    row = dict(col_sharded=False, axis=axis, ep_axis=ep_axis)
     specs = {
         "tok_embedding": P(None, None),
         "norm": P(None),
-        "output": _qw_spec_for(params["output"], col_sharded=True),
+        "output": _qw_spec_for(params["output"], **col),
         "layers": [],
     }
     for lp in params["layers"]:
-        specs["layers"].append({
-            "attn_norm": P(None),
-            "ffn_norm": P(None),
-            "wq": _qw_spec_for(lp["wq"], True),
-            "wk": _qw_spec_for(lp["wk"], True),
-            "wv": _qw_spec_for(lp["wv"], True),
-            "wo": _qw_spec_for(lp["wo"], False),
-            "w1": _qw_spec_for(lp["w1"], True),
-            "w2": _qw_spec_for(lp["w2"], False),
-            "w3": _qw_spec_for(lp["w3"], True),
-        })
+        ls = {"attn_norm": P(None), "ffn_norm": P(None)}
+        for k in lp:
+            if k in ("attn_norm", "ffn_norm"):
+                continue
+            if k == "gate":
+                ls[k] = P(None, None)
+            elif k in ("wq", "wk", "wv", "wqkv", "w1", "w3", "w13"):
+                ls[k] = _qw_spec_for(lp[k], **col)
+            elif k in ("wo", "w2"):
+                ls[k] = _qw_spec_for(lp[k], **row)
+            else:
+                raise KeyError(f"no TP spec for layer weight {k}")
+        specs["layers"].append(ls)
     return specs
 
 

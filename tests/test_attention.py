@@ -79,3 +79,29 @@ def test_flash_int8_kv(rng):
                                      blk_q=16, blk_k=128, interpret=True))
     r = verify(out, golden, tol=2e-2, min_cosine=0.9999)
     assert r.cosine_sim > 0.9999, r
+
+
+def test_sdpa_op_kv_len_decode_route(rng):
+    """Graph/op-mode SDPA with pos_offset + kv_len (decode over a static,
+    partially-filled cache) must equal attention computed over only the
+    valid prefix — both the XLA ref and (on TPU) the Pallas route share
+    these params semantics."""
+    from csinn2_tpu import ops
+    from csinn2_tpu.core.tensor import Tensor
+    b, h, d, S, n = 1, 2, 16, 64, 13     # cache S=64, 13 valid, 1 new query
+    q = rng.standard_normal((b, h, 1, d)).astype(np.float32)
+    k = np.zeros((b, h, S, d), np.float32)
+    v = np.zeros((b, h, S, d), np.float32)
+    k[:, :, :n + 1] = rng.standard_normal((b, h, n + 1, d))
+    v[:, :, :n + 1] = rng.standard_normal((b, h, n + 1, d))
+    # garbage beyond kv_len must not leak in
+    k[:, :, n + 1:] = 1e3
+    v[:, :, n + 1:] = 1e3
+    out = ops.scaled_dot_product_attention(
+        Tensor(q), Tensor(k), Tensor(v),
+        ops.SDPAParams(causal=True, pos_offset=n, kv_len=n + 1)).numpy()
+    want = ops.scaled_dot_product_attention(
+        Tensor(q), Tensor(k[:, :, :n + 1].copy()),
+        Tensor(v[:, :, :n + 1].copy()),
+        ops.SDPAParams(causal=True)).numpy()
+    np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)

@@ -50,3 +50,42 @@ def test_llm_bucket_rounding():
     assert _bucket(33) == 64
     assert _bucket(2048) == 2048
     assert _bucket(99999) == 2048
+
+
+def test_prefill_bucket_compile_count():
+    """Bucketed prompt lengths must share executables: prompts in the same
+    bucket hit the jit cache (≤1 compile per bucket) — the retrace-free
+    analog of session_dynamic_infer_shape (ref: source/graph_ref/
+    setup.c:1007-1121, re-run per run; here re-compile happens only when the
+    bucket changes)."""
+    from csinn2_tpu.llm.config import LlamaConfig
+    from csinn2_tpu.llm.engine import InferenceEngine
+    from csinn2_tpu.llm.model import FLOAT, init_params
+
+    cfg = LlamaConfig.tiny()
+    eng = InferenceEngine(cfg, init_params(cfg, FLOAT, seed=0), batch=1,
+                          use_pallas=False)
+    eng.prefill(0, [1, 2, 3])
+    n0 = eng._prefill_fn._cache_size()
+    assert n0 == 1, n0
+    eng.prefill(0, [4, 5, 6, 7, 8])          # same 32-bucket → cache hit
+    eng.prefill(0, list(range(1, 30)))       # still the 32-bucket
+    assert eng._prefill_fn._cache_size() == 1
+    eng.prefill(0, list(range(1, 40)))       # 64-bucket → one new compile
+    assert eng._prefill_fn._cache_size() == 2
+
+
+def test_decode_scan_bucket_compile_count():
+    """decode_steps recompiles only when the kv_bound bucket grows."""
+    from csinn2_tpu.llm.config import LlamaConfig
+    from csinn2_tpu.llm.engine import InferenceEngine
+    from csinn2_tpu.llm.model import FLOAT, init_params
+
+    cfg = LlamaConfig.tiny(max_seq=512)
+    eng = InferenceEngine(cfg, init_params(cfg, FLOAT, seed=0), batch=1,
+                          use_pallas=False)
+    eng.prefill(0, [1, 2, 3])
+    eng.decode_steps({0: 1}, n_steps=2)
+    assert eng._decode_scan_fn._cache_size() == 1
+    eng.decode_steps({0: 2}, n_steps=2)      # same bound bucket → cache hit
+    assert eng._decode_scan_fn._cache_size() == 1

@@ -146,3 +146,167 @@ def test_qmatmul_packed_int4_channel(rng):
                                   packed_int4=True))
     r = verify(out, golden, tol=5e-2, min_cosine=0.9999)
     assert r.cosine_sim > 0.9999, r
+
+
+# -- transposed (rearranged) weight layout -------------------------------------
+
+def test_qmatmul_transposed_block_q8(rng):
+    """[N,K] rearranged weight + [N,K/32] scales must match the [K,N] path."""
+    M, K, N = 4, 128, 64
+    x = rng.standard_normal((M, K)).astype(np.float32)
+    wf = rng.standard_normal((N, K)).astype(np.float32) * 0.1
+    bq = block_quantize(wf, QuantScheme.BLOCK_Q8_0)   # values [N,K], scales [N,K/32]
+    golden = np.asarray(quant_matmul_ref(x, np.ascontiguousarray(bq.values.T),
+                                         np.ascontiguousarray(
+                                             bq.scales.astype(np.float32).T),
+                                         scale_mode="block"))
+    out = np.asarray(quant_matmul(x, jnp.asarray(bq.values),
+                                  jnp.asarray(bq.scales, jnp.float32),
+                                  scale_mode="block", w_transposed=True,
+                                  bm=8, bn=64, bk=64, interpret=True))
+    np.testing.assert_allclose(out, golden, rtol=2e-2, atol=2e-2)
+
+
+def test_qmatmul_transposed_packed_int4(rng):
+    from csinn2_tpu.kernels.qmatmul import pack_int4_t, unpack_int4_t
+    M, K, N = 4, 128, 64
+    q = rng.integers(-8, 8, size=(N, K)).astype(np.int8)
+    packed = np.asarray(pack_int4_t(q))
+    assert packed.shape == (N, K // 2)
+    np.testing.assert_array_equal(np.asarray(unpack_int4_t(packed, K)), q)
+    x = rng.standard_normal((M, K)).astype(np.float32)
+    s = (rng.random((N, K // 32)) * 0.05 + 0.01).astype(np.float32)
+    golden = np.asarray(quant_matmul_ref(x, q, s, scale_mode="block",
+                                         w_transposed=True))
+    out = np.asarray(quant_matmul(x, jnp.asarray(packed), jnp.asarray(s),
+                                  scale_mode="block", w_transposed=True,
+                                  packed_int4=True, bm=8, bn=64, bk=64,
+                                  interpret=True))
+    np.testing.assert_allclose(out, golden, rtol=2e-2, atol=2e-2)
+
+
+def test_qmatmul_transposed_channel(rng):
+    M, K, N = 8, 96, 48
+    x = rng.standard_normal((M, K)).astype(np.float32)
+    w = rng.integers(-127, 128, size=(N, K)).astype(np.int8)
+    s = (rng.random((N,)) * 0.01 + 0.001).astype(np.float32)
+    golden = np.asarray(quant_matmul_ref(x, w, s, scale_mode="channel",
+                                         w_transposed=True))
+    out = np.asarray(quant_matmul(x, jnp.asarray(w), jnp.asarray(s),
+                                  scale_mode="channel", w_transposed=True,
+                                  bm=8, bn=48, bk=96, interpret=True))
+    r = verify(out, golden, tol=5e-2, min_cosine=0.9999)
+    assert r.cosine_sim > 0.9999, r
+
+
+# -- integer MXU path + fused requantize epilogue ------------------------------
+
+def test_qmatmul_int_dot_bit_exact(rng):
+    """s8×s8→s32 integer-pipe path: bit-exact vs int64 numpy."""
+    M, K, N = 16, 128, 64
+    xq = rng.integers(-127, 128, size=(M, K)).astype(np.int8)
+    wq = rng.integers(-127, 128, size=(K, N)).astype(np.int8)
+    s = (rng.random((N,)) * 0.01 + 0.001).astype(np.float32)
+    out = np.asarray(quant_matmul(jnp.asarray(xq), jnp.asarray(wq), s,
+                                  scale_mode="channel", bm=8, bn=64, bk=128,
+                                  interpret=True))
+    golden = (xq.astype(np.int64) @ wq.astype(np.int64)).astype(np.float64) \
+        * s.astype(np.float64)
+    np.testing.assert_allclose(out, golden.astype(np.float32), rtol=1e-6)
+
+
+def test_qmatmul_fused_int8_out_epilogue(rng):
+    """round→+zp→clip→int8 store fused in the kernel must match the reference
+    requant semantics (ref: requantize_m4_s, gemm_int8_packn.c:26-41)."""
+    M, K, N = 8, 64, 32
+    xq = rng.integers(-127, 128, size=(M, K)).astype(np.int8)
+    wq = rng.integers(-127, 128, size=(K, N)).astype(np.int8)
+    s = (rng.random((N,)) * 0.001 + 0.0005).astype(np.float32)
+    bias = rng.standard_normal((N,)).astype(np.float32)
+    kw = dict(scale_mode="channel", out_dtype=jnp.int8, epilogue_scale=0.37,
+              out_zp=3.0)
+    out = np.asarray(quant_matmul(jnp.asarray(xq), jnp.asarray(wq), s, bias,
+                                  bm=8, bn=32, bk=64, interpret=True, **kw))
+    golden = np.asarray(quant_matmul_ref(xq.astype(np.float32), wq, s, bias,
+                                         **kw))
+    assert out.dtype == np.int8
+    # ties at .5 after the float epilogue may round either way across backends
+    assert np.mean(out.astype(np.int32) != golden.astype(np.int32)) < 0.01
+    np.testing.assert_allclose(out.astype(np.int32), golden.astype(np.int32),
+                               atol=1)
+
+
+def test_qmatmul_fused_uint8_out_epilogue(rng):
+    M, K, N = 8, 64, 32
+    x = rng.standard_normal((M, K)).astype(np.float32)
+    wq = rng.integers(-127, 128, size=(K, N)).astype(np.int8)
+    s = (rng.random((N,)) * 0.001 + 0.0005).astype(np.float32)
+    kw = dict(scale_mode="channel", out_dtype=jnp.uint8, epilogue_scale=2.0,
+              out_zp=128.0)
+    out = np.asarray(quant_matmul(x, jnp.asarray(wq), s, bm=8, bn=32, bk=64,
+                                  interpret=True, **kw))
+    golden = np.asarray(quant_matmul_ref(x, wq, s, **kw))
+    assert out.dtype == np.uint8
+    assert out.min() >= 0 and out.max() <= 255
+    np.testing.assert_allclose(out.astype(np.int32), golden.astype(np.int32),
+                               atol=1)
+
+
+def test_qconv_uint8_asym_weights_exact(rng):
+    """u8 direct path: both activation AND weight zero-points nonzero must be
+    exact integer math (shift-by-128 + window-sum correction), incl. depthwise
+    groups and padded border windows (ref: the reference's u8 kernels +
+    fuse_zp_to_bias, tests/validation_layer/testutil.h)."""
+    import torch
+    import torch.nn.functional as F
+    from csinn2_tpu import ops
+    from csinn2_tpu.core.dtypes import Dtype, Layout, QuantScheme
+    from csinn2_tpu.core.quant import QuantInfo
+    from csinn2_tpu.core.tensor import Tensor
+
+    for group, stride in [(1, 1), (1, 2), (8, 1)]:
+        n, cin, h, w_, cout, k = 1, 8, 9, 9, (8 if group == 8 else 12), 3
+        xq = rng.integers(0, 256, (n, cin, h, w_)).astype(np.uint8)
+        wq = rng.integers(0, 256, (cout, cin // group, k, k)).astype(np.uint8)
+        sx, zx = 0.031, 131
+        sw = (rng.random(cout) * 0.02 + 0.01).astype(np.float32)
+        zw = rng.integers(100, 160, (cout,)).astype(np.int32)
+        x_qi = QuantInfo(scale=sx, zero_point=zx, dtype=Dtype.UINT8,
+                         scheme=QuantScheme.UINT8_ASYM)
+        w_qi = QuantInfo(scale=sw, zero_point=zw, dtype=Dtype.UINT8, axis=0,
+                         scheme=QuantScheme.UINT8_ASYM)
+        params = ops.Conv2dParams(stride=(stride, stride), pad=(1, 1, 1, 1),
+                                  group=group, layout=Layout.NCHW)
+        out = ops.conv2d(Tensor(xq, qinfo=x_qi), Tensor(wq, qinfo=w_qi),
+                         None, params)
+        acc = F.conv2d(torch.tensor(xq.astype(np.float64) - zx),
+                       torch.tensor(wq.astype(np.float64)
+                                    - zw.reshape(-1, 1, 1, 1)),
+                       stride=stride, padding=1, groups=group).numpy()
+        golden = acc * (sx * sw.reshape(1, -1, 1, 1))
+        np.testing.assert_allclose(np.asarray(out.data, np.float64), golden,
+                                   rtol=1e-5, atol=1e-4)
+
+
+def test_qfc_uint8_asym_weights_exact(rng):
+    from csinn2_tpu import ops
+    from csinn2_tpu.core.dtypes import Dtype, QuantScheme
+    from csinn2_tpu.core.quant import QuantInfo
+    from csinn2_tpu.core.tensor import Tensor
+    M, K, units = 5, 64, 24
+    xq = rng.integers(0, 256, (M, K)).astype(np.uint8)
+    wq = rng.integers(0, 256, (units, K)).astype(np.uint8)
+    sx, zx = 0.02, 117
+    sw = (rng.random(units) * 0.02 + 0.01).astype(np.float32)
+    zw = rng.integers(90, 170, (units,)).astype(np.int32)
+    x_qi = QuantInfo(scale=sx, zero_point=zx, dtype=Dtype.UINT8,
+                     scheme=QuantScheme.UINT8_ASYM)
+    w_qi = QuantInfo(scale=sw, zero_point=zw, dtype=Dtype.UINT8, axis=0,
+                     scheme=QuantScheme.UINT8_ASYM)
+    out = ops.fullyconnected(Tensor(xq, qinfo=x_qi), Tensor(wq, qinfo=w_qi),
+                             None, ops.FCParams(units=units))
+    golden = ((xq.astype(np.float64) - zx)
+              @ (wq.astype(np.float64) - zw.reshape(-1, 1)).T) \
+        * (sx * sw.astype(np.float64))
+    np.testing.assert_allclose(np.asarray(out.data, np.float64), golden,
+                               rtol=1e-5, atol=1e-4)

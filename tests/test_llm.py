@@ -312,3 +312,71 @@ def test_top_p_disabled_at_one():
                                             top_p=1.0))(keys)
     counts = np.bincount(np.asarray(toks), minlength=2)
     assert counts[1] > 20, counts     # ~uniform after tempering
+
+
+# -- TP-composed engine (mesh serving) ------------------------------------------
+
+def test_tp_fused_weights_interleave(fparams):
+    """fuse_params(tp=2) interleaves the fused N axis per shard: the sharded
+    TP forward over fused weights must match the unfused single-device one."""
+    from csinn2_tpu.parallel.mesh import make_mesh
+    from csinn2_tpu.parallel.tp import shard_llama_params, tp_llama_forward
+    from csinn2_tpu.llm.model import fuse_params
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs >=2 virtual devices")
+    mesh = make_mesh(tp=2, dp=1, devices=devs[:2])
+    toks = np.array([[3, 7, 11, 19]], np.int32)
+    gold, _ = _prefill_logits(fparams, toks)
+    fused = fuse_params(fparams, tp=2)
+    sharded = shard_llama_params(fused, mesh)
+    fwd = tp_llama_forward(mesh, CFG, use_pallas=False)
+    cache = KVCache.create(CFG, batch=1)
+    logits, _ = fwd(sharded, jnp.asarray(toks), cache, 0)
+    r = verify(np.asarray(logits, np.float32), gold, tol=2e-2, min_cosine=0.999)
+    assert r.cosine_sim > 0.999, r
+
+
+def test_engine_over_mesh_matches_single(fparams):
+    """The full engine (prefill admission, host-stepped decode, fused scan)
+    under a tp=2×dp=2 mesh must reproduce the single-device engine's greedy
+    tokens (BASELINE config 5: TP-composed serving)."""
+    from csinn2_tpu.parallel.mesh import make_mesh
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs >=4 virtual devices")
+    mesh = make_mesh(tp=2, dp=2, devices=devs[:4])
+    eng = InferenceEngine(CFG, fparams, batch=4, use_pallas=False, mesh=mesh)
+    ref = InferenceEngine(CFG, fparams, batch=1, use_pallas=False)
+
+    # lane 3 lives in dp group 1 — exercises the owner-only scatter
+    want = ref.generate([3, 7, 11], max_new_tokens=6)
+    l3 = eng.prefill(3, [3, 7, 11])
+    t3 = int(np.argmax(l3))
+    assert t3 == want[0]
+    got = [t3]
+    for _ in range(3):
+        lg = eng.decode_step({3: got[-1]})[3]
+        got.append(int(np.argmax(lg)))
+    assert got == want[:4], (got, want)
+    # fused multi-slot scan continues from the same state
+    seq = eng.decode_steps({3: got[-1]}, n_steps=2)[3]
+    assert seq == want[4:6], (seq, want)
+
+
+def test_engine_mesh_run_queue(fparams):
+    """Continuous batching across dp groups: requests land in lanes of
+    different dp shards and still match single-slot outputs."""
+    from csinn2_tpu.parallel.mesh import make_mesh
+    from csinn2_tpu.llm.engine import Request
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs >=4 virtual devices")
+    mesh = make_mesh(tp=2, dp=2, devices=devs[:4])
+    eng = InferenceEngine(CFG, fparams, batch=4, use_pallas=False, mesh=mesh)
+    prompts = [[3, 7, 11], [5, 2], [9, 4, 1, 8]]
+    reqs = [Request(prompt=p, max_new_tokens=4) for p in prompts]
+    eng.run_queue(reqs, chunk=2)
+    for p, r in zip(prompts, reqs):
+        ref = InferenceEngine(CFG, fparams, batch=1, use_pallas=False)
+        assert r.out == ref.generate(p, max_new_tokens=4), (p, r.out)
