@@ -21,6 +21,8 @@ from typing import Any, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from csinn2_tpu.llm.config import LlamaConfig
 from csinn2_tpu.llm.model import (
@@ -125,3 +127,150 @@ class PipelinedLlama:
                               axis=1),
             scale=caches[s].scale) for s in range(self.n_stages)]
         return logits, new_caches
+
+
+# ---------------------------------------------------------------------------
+# SPMD pipeline: ONE executable, ppermute ring, GPipe tick schedule
+# ---------------------------------------------------------------------------
+
+class SPMDPipelinedLlama:
+    """Pipeline parallelism compiled into a single SPMD executable.
+
+    The host-stepped PipelinedLlama above relies on async dispatch for
+    overlap; this class instead expresses the whole pipeline inside one
+    shard_map + lax.scan program, so overlap is *structural*: every device
+    executes the identical tick loop, and at tick t stage s computes
+    microbatch (t - s) while its activation output rides the ICI to stage
+    s+1 via lax.ppermute.  Bubble fraction is the GPipe (P-1)/(M+P-1).
+
+    Layer params and the KV cache shard along the LAYER axis of the 'pp'
+    mesh axis (stage s owns layers [s·Lp, (s+1)·Lp)); the embedding table
+    and lm head run replicated outside the pipelined region (they are <2%
+    of FLOPs).  Net-new vs the reference, which is single-core sequential
+    (SURVEY.md §2 parallelism note); composes with the TP specs in
+    parallel/tp.py by giving shard_map a 2-D ('pp','tp') mesh — this class
+    keeps a 1-D mesh for clarity.
+    """
+
+    def __init__(self, params, cfg: LlamaConfig, mesh: Optional[Mesh] = None,
+                 n_stages: Optional[int] = None, microbatches: int = 4,
+                 use_pallas: Optional[bool] = None):
+        if mesh is None:
+            n_stages = n_stages or jax.device_count()
+            mesh = Mesh(jax.devices()[:n_stages], ("pp",))
+        self.mesh = mesh
+        self.P = mesh.shape["pp"]
+        assert cfg.n_layers % self.P == 0
+        self.Lp = cfg.n_layers // self.P
+        self.cfg = cfg
+        self.M = microbatches
+        self.use_pallas = use_pallas
+
+        # stack the per-layer dicts into one pytree with a leading layer axis
+        # and shard that axis over 'pp' (requires uniform layer structure)
+        keys = {frozenset(lp.keys()) for lp in params["layers"]}
+        assert len(keys) == 1, "pipeline stages need uniform layer structure"
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params["layers"])
+        lsharding = NamedSharding(mesh, P("pp"))
+        rsharding = NamedSharding(mesh, P())
+        self.layers = jax.device_put(stacked, lsharding)
+        self.embed = jax.device_put(params["tok_embedding"], rsharding)
+        self.norm = jax.device_put(params["norm"], rsharding)
+        self.output = jax.device_put(params["output"], rsharding)
+        self._fn = None
+        self._fn_scale = None
+
+    def init_cache(self, batch: int, quantized: bool = False) -> KVCache:
+        cache = KVCache.create(self.cfg, batch, quantized)
+        return jax.device_put(cache, NamedSharding(self.mesh, P("pp")))
+
+    def _pipeline_fn(self, kv_scale):
+        cfg, Pn, Lp, M = self.cfg, self.P, self.Lp, self.M
+        use_pallas = self.use_pallas
+
+        def body(layers_loc, x_mb, cache_k, cache_v, pos):
+            # x_mb [M, mb, s, D] replicated; cache_[kv] local [Lp, B, S, hk, dh]
+            sidx = lax.axis_index("pp")
+            mb = x_mb.shape[1]
+
+            def run_stage(x, ck, cv, m):
+                sub = KVCache(
+                    k=lax.dynamic_slice_in_dim(ck, m * mb, mb, axis=1),
+                    v=lax.dynamic_slice_in_dim(cv, m * mb, mb, axis=1),
+                    scale=kv_scale)
+                y = x
+                for i in range(Lp):
+                    lp = jax.tree.map(lambda a: a[i], layers_loc)
+                    h = rms_norm(y, lp["attn_norm"], cfg.norm_eps)
+                    attn, sub = attention_block(h.astype(jnp.bfloat16), lp,
+                                                sub, i, pos, cfg, use_pallas)
+                    y = y + attn.astype(y.dtype)
+                    h = rms_norm(y, lp["ffn_norm"], cfg.norm_eps)
+                    if "gate" in lp:
+                        f = moe_ffn_block(h.astype(jnp.bfloat16), lp, cfg,
+                                          use_pallas)
+                    else:
+                        f = ffn_block(h.astype(jnp.bfloat16), lp, use_pallas)
+                    y = y + f.astype(y.dtype)
+                return y, sub
+
+            def tick(carry, t):
+                h, ck, cv, out_buf = carry
+                m_id = t - sidx
+                active = (m_id >= 0) & (m_id < M)
+                m = jnp.clip(m_id, 0, M - 1)
+                x_in = jnp.where(sidx == 0,
+                                 lax.dynamic_index_in_dim(x_mb, m, 0,
+                                                          keepdims=False), h)
+                y, sub = run_stage(x_in, ck, cv, m)
+                # masked write-back of this microbatch's cache rows
+                old_k = lax.dynamic_slice_in_dim(ck, m * mb, mb, axis=1)
+                old_v = lax.dynamic_slice_in_dim(cv, m * mb, mb, axis=1)
+                ck = lax.dynamic_update_slice_in_dim(
+                    ck, jnp.where(active, sub.k, old_k), m * mb, axis=1)
+                cv = lax.dynamic_update_slice_in_dim(
+                    cv, jnp.where(active, sub.v, old_v), m * mb, axis=1)
+                # last stage records its finished microbatch
+                write = active & (sidx == Pn - 1)
+                cur = lax.dynamic_index_in_dim(out_buf, m, 0, keepdims=False)
+                out_buf = lax.dynamic_update_index_in_dim(
+                    out_buf, jnp.where(write, y, cur), m, 0)
+                h_next = lax.ppermute(y, "pp",
+                                      [(i, (i + 1) % Pn) for i in range(Pn)])
+                return (h_next, ck, cv, out_buf), None
+
+            h0 = jnp.zeros(x_mb.shape[1:], x_mb.dtype)
+            out0 = jnp.zeros_like(x_mb)
+            (h, ck, cv, out_buf), _ = lax.scan(
+                tick, (h0, cache_k, cache_v, out0),
+                jnp.arange(M + Pn - 1, dtype=jnp.int32))
+            # only the last stage's out_buf is meaningful; emit one copy per
+            # stage and let the caller take shard Pn-1 (no collective needed)
+            return out_buf[None], ck, cv
+
+        pspec = P("pp")
+        from jax.experimental.shard_map import shard_map
+        fn = shard_map(
+            body, mesh=self.mesh,
+            in_specs=(pspec, P(), pspec, pspec, P()),
+            out_specs=(pspec, pspec, pspec),
+            check_rep=False)
+        return jax.jit(fn)
+
+    def __call__(self, tokens, cache: KVCache, pos):
+        """tokens [B, s] with B = microbatches · mb → (logits, cache')."""
+        B, s = tokens.shape
+        assert B % self.M == 0, (B, self.M)
+        mb = B // self.M
+        x = self.embed[jnp.asarray(tokens)]                     # [B, s, D]
+        x_mb = x.reshape(self.M, mb, s, x.shape[-1])
+        if self._fn is None or self._fn_scale != cache.scale:
+            self._fn = self._pipeline_fn(cache.scale)
+            self._fn_scale = cache.scale
+        out, ck, cv = self._fn(self.layers, x_mb, cache.k, cache.v,
+                               jnp.asarray(pos, jnp.int32))
+        y = out[self.P - 1].reshape(B, s, x.shape[-1])          # last stage
+        y = rms_norm(y, self.norm, self.cfg.norm_eps)
+        logits = linear(y.astype(jnp.bfloat16), self.output,
+                        use_pallas=self.use_pallas)
+        return logits, KVCache(k=ck, v=cv, scale=cache.scale)

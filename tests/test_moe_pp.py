@@ -102,3 +102,56 @@ def test_pp_moe_compose():
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32),
                                rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("stages,micro", [(2, 2), (4, 2)])
+def test_spmd_pipeline_matches_single_device(stages, micro):
+    """Single-executable shard_map pipeline == plain forward (prefill and a
+    follow-up decode step reusing the pipeline-updated sharded cache)."""
+    from csinn2_tpu.parallel.pp import SPMDPipelinedLlama
+
+    cfg = LlamaConfig(dim=64, n_layers=4, n_heads=4, n_kv_heads=2,
+                      ffn_dim=128, vocab_size=256, max_seq_len=64)
+    params = init_params(cfg, mode=FLOAT, seed=5)
+    batch = 4
+    toks = np.tile(TOKENS, (batch, 1))
+    cache = KVCache.create(cfg, batch=batch)
+    want, want_cache = llama_forward(params, jnp.asarray(toks), cache, 0, cfg,
+                                     use_pallas=False)
+
+    pipe = SPMDPipelinedLlama(params, cfg, n_stages=stages,
+                              microbatches=micro, use_pallas=False)
+    pcache = pipe.init_cache(batch=batch)
+    got, pcache = pipe(jnp.asarray(toks), pcache, 0)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(pcache.k, np.float32),
+                               np.asarray(want_cache.k, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+    # decode step at pos=8 from the pipelined cache
+    want2, _ = llama_forward(params, jnp.asarray(toks[:, :1]), want_cache, 8,
+                             cfg, use_pallas=False)
+    got2, _ = pipe(jnp.asarray(toks[:, :1]), pcache, 8)
+    np.testing.assert_allclose(np.asarray(got2, np.float32),
+                               np.asarray(want2, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_spmd_pipeline_single_executable():
+    """The pipeline traces/compiles ONCE for repeated calls of one shape —
+    the structural-overlap guarantee (everything inside one jit)."""
+    from csinn2_tpu.parallel.pp import SPMDPipelinedLlama
+
+    cfg = LlamaConfig(dim=32, n_layers=2, n_heads=2, n_kv_heads=2,
+                      ffn_dim=64, vocab_size=64, max_seq_len=32)
+    params = init_params(cfg, mode=FLOAT, seed=6)
+    pipe = SPMDPipelinedLlama(params, cfg, n_stages=2, microbatches=2,
+                              use_pallas=False)
+    pcache = pipe.init_cache(batch=2)
+    toks = np.array([[1, 2], [3, 4]], np.int32)
+    _, pcache = pipe(jnp.asarray(toks), pcache, 0)
+    n0 = pipe._fn._cache_size()
+    _, pcache = pipe(jnp.asarray(toks), pcache, 2)
+    assert pipe._fn._cache_size() == n0 == 1
