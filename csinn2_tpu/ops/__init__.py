@@ -11,6 +11,7 @@ the TPU-native analog of the `est` callback hooks
 from csinn2_tpu.ops.registry import OpRegistry, registry
 import csinn2_tpu.ops.ref  # noqa: F401 — populates the registry
 import csinn2_tpu.kernels.qconv  # noqa: F401 — scheme-specialized fast paths
+import csinn2_tpu.kernels.dsblock  # noqa: F401 — fused dw→pw block kernel
 import csinn2_tpu.kernels.autodispatch  # noqa: F401 — PALLAS cbs + cost model
 from csinn2_tpu.ops.params import *  # noqa: F401,F403
 from csinn2_tpu.ops.api import *  # noqa: F401,F403

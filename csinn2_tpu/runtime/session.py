@@ -112,6 +112,14 @@ class Session:
         """Compile the recorded graph into one XLA executable
         (ref: csinn_session_setup → shl_gref_session_setup, setup.c:688)."""
         t0 = time.perf_counter()
+        if self.run_mode == RunMode.GRAPH:
+            # conv-pair fusion XLA can't do itself (ref: the partitioner-level
+            # fusion shl_subgraph_fvisit_fuse, source/graph_ref/subgraph.c:956)
+            from csinn2_tpu.graph.fuse import fuse_ds_blocks
+            n_fused = fuse_ds_blocks(self.graph)
+            if n_fused:
+                log.info("%s: fused %d depthwise→pointwise pairs", self.name,
+                         n_fused)
         self.graph.topo_check()
         self._consts = self.graph.collect_consts()
 
