@@ -110,6 +110,13 @@ def fuse_ds_blocks(graph: Graph) -> int:
     Returns the number of pairs fused.  Structural requirements: the dw
     output feeds exactly one node (the 1x1 conv) and is not a graph output;
     all carriers int8 with zero zero-points (symmetric schemes); NHWC."""
+    # OFF by default: measured on a real v5e (examples/dsfuse_probe.py,
+    # MobileNetV1-INT8 bs128) the Pallas ds_block is 0.19x the unfused XLA
+    # conv pair — XLA's own conv kernels + fusion win at these shapes.  The
+    # kernel is kept as an opt-in experiment (CSINN2_FUSE_DS=1) and as the
+    # scaffolding for a future VMEM-resident block at small batch.
+    if not os.environ.get("CSINN2_FUSE_DS"):
+        return 0
     if os.environ.get("CSINN2_NO_FUSE_DS"):
         return 0
     from csinn2_tpu.utils.config import config

@@ -20,11 +20,11 @@ xb = rng.random(model.input_shape(BATCH)).astype(np.float32)
 model.calibrate(x1)
 
 results = {}
-for tag, env in [("fused", None), ("unfused", "1")]:
+for tag, env in [("fused", "1"), ("unfused", None)]:
     if env:
-        os.environ["CSINN2_NO_FUSE_DS"] = env
+        os.environ["CSINN2_FUSE_DS"] = env
     else:
-        os.environ.pop("CSINN2_NO_FUSE_DS", None)
+        os.environ.pop("CSINN2_FUSE_DS", None)
     t0 = time.time()
     sess = model.build_session(QuantScheme.INT8_SYM, batch=BATCH)
     n_ds = sum(1 for n in sess.graph.nodes if n.op == "ds_block")

@@ -101,18 +101,19 @@ def test_session_fusion_bit_exact_and_counts():
     x = rng.random(model.input_shape(2)).astype(np.float32)
     model.calibrate(x)
 
-    os.environ["CSINN2_NO_FUSE_DS"] = "1"
-    try:
-        s_ref = model.build_session(QuantScheme.INT8_SYM, batch=2)
-        assert not any(n.op == "ds_block" for n in s_ref.graph.nodes)
-        xin = model.prepare_input(x, s_ref)
-        ref = np.asarray(s_ref.run(xin))
-    finally:
-        del os.environ["CSINN2_NO_FUSE_DS"]
+    # fusion is opt-in (slower than XLA's conv pair on v5e; see fuse.py)
+    s_ref = model.build_session(QuantScheme.INT8_SYM, batch=2)
+    assert not any(n.op == "ds_block" for n in s_ref.graph.nodes)
+    xin = model.prepare_input(x, s_ref)
+    ref = np.asarray(s_ref.run(xin))
 
     model2 = _tiny_model()
     model2.calibrate(x)
-    s_fused = model2.build_session(QuantScheme.INT8_SYM, batch=2)
+    os.environ["CSINN2_FUSE_DS"] = "1"
+    try:
+        s_fused = model2.build_session(QuantScheme.INT8_SYM, batch=2)
+    finally:
+        del os.environ["CSINN2_FUSE_DS"]
     n_ds = sum(1 for n in s_fused.graph.nodes if n.op == "ds_block")
     assert n_ds == 13, n_ds                     # all 13 separable blocks
     got = np.asarray(s_fused.run(model2.prepare_input(x, s_fused)))
@@ -134,7 +135,11 @@ def test_fused_model_save_load_roundtrip(tmp_path):
     rng = np.random.default_rng(2)
     x = rng.random(model.input_shape(1)).astype(np.float32)
     model.calibrate(x)
-    sess = model.build_session(QuantScheme.INT8_SYM, batch=1)
+    os.environ["CSINN2_FUSE_DS"] = "1"
+    try:
+        sess = model.build_session(QuantScheme.INT8_SYM, batch=1)
+    finally:
+        del os.environ["CSINN2_FUSE_DS"]
     assert any(n.op == "ds_block" for n in sess.graph.nodes)
     xin = model.prepare_input(x, sess)
     ref = np.asarray(sess.run(xin))
