@@ -90,6 +90,22 @@ def bench_mobilenet():
     emit(f"mobilenet_v1_int8_224_bs{BATCH}_imgs_per_s", BATCH / int8_dt,
          "img/s", f32_dt / int8_dt)
 
+    # roofline placement: MobileNet at bs128 is HBM-bound on every conv
+    # (static model runtime/roofline.py, validated in tests/test_roofline.py),
+    # so report fraction-of-SOL rather than MFU (MFU cap ≈ 22% at these shapes)
+    from csinn2_tpu.runtime.roofline import analyze
+    rep = analyze(sess)
+    frac = rep.fused_sol_s / int8_dt
+    n_hbm = sum(1 for c in rep.costs if not c.fusable
+                and c.bound(rep.peak_tops, rep.hbm_gbps) == "hbm")
+    n_mat = sum(1 for c in rep.costs if not c.fusable)
+    print(f"# roofline: fused SOL {rep.fused_sol_s*1e3:.3f} ms vs measured "
+          f"{int8_dt*1e3:.3f} ms -> {100*frac:.0f}% of bandwidth SOL "
+          f"({n_hbm}/{n_mat} matrix nodes HBM-bound; "
+          f"{rep.total_flops/1e9:.0f} GFLOP/batch)", file=sys.stderr)
+    emit(f"mobilenet_v1_int8_bs{BATCH}_roofline_fraction", frac,
+         "fraction_of_hbm_sol", frac)
+
 
 def bench_llama7b(mode="q8_0"):
     """Llama-2-7B weight-only quant, quantized KV (BASELINE config 4) +

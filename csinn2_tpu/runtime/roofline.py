@@ -1,0 +1,170 @@
+"""Static roofline model over a recorded session graph.
+
+The reference prints measured ms/layer (SHL_LAYER_BENCHMARK,
+source/graph_ref/setup.c:1333-1357) but has no analytic cost model.  On TPU
+the analytic side matters: it is how we prove a graph is at its hardware
+speed-of-light rather than merely "fast" — per node we compute MXU FLOPs and
+HBM bytes, take max(t_flops, t_bytes) as that node's floor, and sum.
+
+Fusion accounting: XLA fuses elementwise chains (requantize, activation,
+add, pad, reshape...) into their producer/consumer conv or GEMM, so
+elementwise nodes contribute ZERO extra HBM traffic in the fused total
+(their bytes ride the adjacent matmul's read/write) — matching what the
+measured per-layer profile (examples/mobilenet_profile.py) shows.  The
+unfused total (every node pays its own bytes) is also reported as the
+pessimistic bound.
+
+Used by bench.py to report "fraction of roofline" next to img/s, and by
+tests to sanity-check the model against known shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+
+# ops whose HBM traffic fuses into an adjacent MXU op under XLA
+_FUSABLE = {
+    "relu", "relu6", "leaky_relu", "prelu", "sigmoid", "silu", "clip",
+    "hard_swish", "hard_sigmoid", "erf", "add", "sub", "mul", "div",
+    "minimum", "maximum", "requantize", "quantize", "dequantize",
+    "data_convert", "pad", "reshape", "squeeze", "expand_dims", "transpose",
+    "cast", "bn", "batch_normalization", "softmax", "bias_add",
+}
+
+# ops that are pure shape/metadata moves — free under XLA
+_FREE = {"reshape", "squeeze", "expand_dims", "identity"}
+
+
+@dataclasses.dataclass
+class NodeCost:
+    name: str
+    op: str
+    flops: int          # multiply-add counted as 2
+    act_bytes: int      # activation read + write
+    w_bytes: int        # parameter read
+    fusable: bool
+
+    @property
+    def bytes(self) -> int:
+        return self.act_bytes + self.w_bytes
+
+    def t_us(self, peak_tops: float, hbm_gbps: float) -> float:
+        t_mxu = self.flops / (peak_tops * 1e12) * 1e6
+        t_hbm = self.bytes / (hbm_gbps * 1e9) * 1e6
+        return max(t_mxu, t_hbm)
+
+    def bound(self, peak_tops: float, hbm_gbps: float) -> str:
+        t_mxu = self.flops / (peak_tops * 1e12)
+        t_hbm = self.bytes / (hbm_gbps * 1e9)
+        return "mxu" if t_mxu >= t_hbm else "hbm"
+
+
+def _nbytes(meta) -> int:
+    return int(meta.byte_size)
+
+
+def _conv_flops(node) -> int:
+    out = node.outputs[0].meta.shape
+    w = node.inputs[1].meta.shape          # [O, I/g, kh, kw]
+    n = int(np.prod(out))
+    per_out = int(np.prod(w[1:]))          # I/g * kh * kw  (depthwise: 1*kh*kw)
+    return 2 * n * per_out
+
+
+def _matmul_flops(node) -> int:
+    a = node.inputs[0].meta.shape
+    out = node.outputs[0].meta.shape
+    k = a[-1]
+    return 2 * int(np.prod(out)) * int(k)
+
+
+def node_cost(node, consts_ids) -> NodeCost:
+    act_in = sum(_nbytes(t.meta) for t in node.inputs
+                 if t is not None and id(t) not in consts_ids)
+    w_in = sum(_nbytes(t.meta) for t in node.inputs
+               if t is not None and id(t) in consts_ids)
+    out_b = sum(_nbytes(t.meta) for t in node.outputs)
+
+    op = node.op
+    if op in ("conv2d", "depthwise_conv2d", "group_conv2d", "conv2d_relu",
+              "conv2d_relu6", "deconv2d", "ds_block"):
+        flops = _conv_flops(node)
+        if op == "ds_block":  # dw (inputs[1]) + pw (inputs[3]) pair
+            out = node.outputs[0].meta.shape
+            w1 = node.inputs[1].meta.shape
+            mid = int(np.prod(out[:-1])) * w1[0]
+            flops = 2 * mid * int(np.prod(w1[1:])) + _matmul_flops(node)
+        fusable = False
+    elif op in ("fullyconnected", "matmul", "cache_matmul"):
+        flops = _matmul_flops(node)
+        fusable = False
+    elif op in _FREE:
+        flops = 0
+        act_in = out_b = 0
+        fusable = True
+    else:
+        flops = int(np.prod(node.outputs[0].meta.shape)) if node.outputs else 0
+        fusable = op in _FUSABLE
+    return NodeCost(name=node.name or op, op=op, flops=flops,
+                    act_bytes=act_in + out_b, w_bytes=w_in, fusable=fusable)
+
+
+@dataclasses.dataclass
+class RooflineReport:
+    costs: List[NodeCost]
+    peak_tops: float
+    hbm_gbps: float
+
+    @property
+    def total_flops(self) -> int:
+        return sum(c.flops for c in self.costs)
+
+    @property
+    def fused_sol_s(self) -> float:
+        """Speed-of-light seconds assuming XLA fuses all elementwise chains."""
+        return sum(c.t_us(self.peak_tops, self.hbm_gbps)
+                   for c in self.costs if not c.fusable) * 1e-6
+
+    @property
+    def unfused_sol_s(self) -> float:
+        return sum(c.t_us(self.peak_tops, self.hbm_gbps)
+                   for c in self.costs) * 1e-6
+
+    def table(self, top: Optional[int] = None) -> str:
+        rows = sorted((c for c in self.costs if not c.fusable),
+                      key=lambda c: -c.t_us(self.peak_tops, self.hbm_gbps))
+        if top:
+            rows = rows[:top]
+        lines = [f"{'node':<28}{'op':<18}{'GFLOP':>8}{'MB':>8}"
+                 f"{'floor_us':>10} bound"]
+        for c in rows:
+            lines.append(
+                f"{c.name:<28}{c.op:<18}{c.flops/1e9:>8.3f}"
+                f"{c.bytes/1e6:>8.2f}"
+                f"{c.t_us(self.peak_tops, self.hbm_gbps):>10.1f} "
+                f"{c.bound(self.peak_tops, self.hbm_gbps)}")
+        return "\n".join(lines)
+
+
+def analyze(session, peak_tops: float = 394.0,
+            hbm_gbps: float = 819.0) -> RooflineReport:
+    """Roofline report for a set-up session's graph.
+
+    Defaults are v5e int8: 394 TOPS MXU, 819 GB/s HBM.  Pass
+    peak_tops=197*2 f32-halved etc. for other dtypes."""
+    g = session.graph
+    consts_ids = set(g.consts.keys()) if g.consts else set()
+    # fall back: tensors carrying a const_key or payload are weights
+    for n in g.nodes:
+        for t in n.inputs:
+            if t is None:
+                continue
+            if getattr(t.meta, "const_key", None) or getattr(t, "data", None) is not None:
+                consts_ids.add(id(t))
+    for t in g.inputs:
+        consts_ids.discard(id(t))
+    costs = [node_cost(n, consts_ids) for n in g.nodes]
+    return RooflineReport(costs=costs, peak_tops=peak_tops, hbm_gbps=hbm_gbps)
