@@ -90,8 +90,9 @@ def bench_mobilenet():
     emit(f"mobilenet_v1_int8_224_bs{BATCH}_imgs_per_s", BATCH / int8_dt,
          "img/s", f32_dt / int8_dt)
 
-    # roofline placement: MobileNet at bs128 is HBM-bound on every conv
-    # (static model runtime/roofline.py, validated in tests/test_roofline.py),
+    # roofline placement: MobileNet at bs128 is predominantly HBM-bound
+    # (~3/4 of matrix nodes; a handful of pointwise convs are MXU-bound —
+    # static model runtime/roofline.py, validated in tests/test_roofline.py),
     # so report fraction-of-SOL rather than MFU (MFU cap ≈ 22% at these shapes)
     from csinn2_tpu.runtime.roofline import analyze
     rep = analyze(sess)

@@ -14,8 +14,12 @@ intermediate never leaves VMEM).
 The rewrite happens after record, before jit — so save_model called on a
 set-up session serializes `ds_block` nodes (the op is registered and replays
 through call_op on load), while save before setup serializes the unfused
-graph and re-fuses at the loaded session's setup.  Disable with
-config.disable("ds_block") or CSINN2_NO_FUSE_DS=1.
+graph and re-fuses at the loaded session's setup.
+
+The pass is OFF by default (measured 0.19x vs XLA's unfused conv pair on
+v5e, examples/dsfuse_probe.py) and opt-in via CSINN2_FUSE_DS=1; even when
+opted in, CSINN2_NO_FUSE_DS=1 or config.disable("ds_block") overrides it
+back off (useful to disable a globally-exported opt-in for one run).
 """
 
 from __future__ import annotations

@@ -102,7 +102,7 @@ def _kernel(x_ref, w_ref, s_ref, b_ref, out_ref, acc_ref, *, scale_mode: str,
             packed_int4: bool = False, bk: int = 0, bn: int = 0,
             w_transposed: bool = False, int_dot: bool = False,
             has_bias: bool = False, out_zp: float = 0.0,
-            qclip=None):
+            qclip=None, deq: str = "repeat"):
     """One (BM, BN) output tile; grid = (M/BM, N/BN, K/BK), K innermost.
 
     w_transposed: the weight is prepacked [N, K] ("rearranged" layout, the
@@ -180,10 +180,18 @@ def _kernel(x_ref, w_ref, s_ref, b_ref, out_ref, acc_ref, *, scale_mode: str,
                 w = load_w(jnp.bfloat16)
                 if w_transposed:
                     w = w * _expand_scales(bk, BLOCK).astype(jnp.bfloat16)
+                elif deq == "bcast":
+                    # broadcast each scale across its 32-row block via a
+                    # major-dims reshape: [BK,BN]→[BK/32,32,BN] * s[:,None,:]
+                    s = s_ref[:].astype(jnp.bfloat16)
+                    w3 = w.reshape(bk // BLOCK, BLOCK, bn)
+                    w = (w3 * s[:, None, :]).reshape(bk, bn)
                 else:
                     # element-repeat each scale across its 32-row block —
                     # sublane-axis repeat lowers fine (NB: pltpu.repeat tiles
-                    # the whole array — wrong semantics here)
+                    # the whole array — wrong semantics here).  Measured
+                    # FASTER than the reshape-broadcast variant on v5e
+                    # (examples/prefill_gemm_sweep.py)
                     s = s_ref[:].astype(jnp.bfloat16)
                     w = w * jnp.repeat(s, BLOCK, axis=0)   # s [BK//32, BN]
             else:
@@ -213,14 +221,15 @@ def _kernel(x_ref, w_ref, s_ref, b_ref, out_ref, acc_ref, *, scale_mode: str,
     jax.jit,
     static_argnames=("scale_mode", "out_dtype", "epilogue_scale", "bm", "bn",
                      "bk", "interpret", "packed_int4", "w_transposed",
-                     "out_zp"),
+                     "out_zp", "deq"),
 )
 def quant_matmul(x, w_q, scales=None, bias=None, *, scale_mode: str = "channel",
                  out_dtype=jnp.float32, epilogue_scale: Optional[float] = None,
                  bm: Optional[int] = None, bn: Optional[int] = None,
                  bk: Optional[int] = None,
                  interpret: bool = False, packed_int4: bool = False,
-                 w_transposed: bool = False, out_zp: float = 0.0):
+                 w_transposed: bool = False, out_zp: float = 0.0,
+                 deq: str = "repeat"):
     """y[M,N] = (x[M,K] · dequant(w_q)) * epilogue_scale + bias.
 
     x: float (bf16/f32) or int8 carrier (converted exactly to bf16).
@@ -389,7 +398,8 @@ def quant_matmul(x, w_q, scales=None, bias=None, *, scale_mode: str = "channel",
                           out_dtype=out_dtype, epilogue_scale=epilogue_scale,
                           packed_int4=packed_int4, bk=bk, bn=bn,
                           w_transposed=w_transposed, int_dot=int_dot,
-                          has_bias=has_bias, out_zp=out_zp, qclip=qclip),
+                          has_bias=has_bias, out_zp=out_zp, qclip=qclip,
+                          deq=deq),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),

@@ -243,11 +243,20 @@ class InferenceEngine:
             @functools.partial(jax.jit, static_argnames=("kv_bound",),
                                donate_argnums=(1,))
             def _decode(params, cache, tokens, pos_vec, kv_bound=None):
+                def _body(params, cache, tokens, pos_vec):
+                    logits, cache = _decode_local(params, cache, tokens,
+                                                  pos_vec, kv_bound)
+                    # replicate the logits over dp so the host can fetch them
+                    # in the MULTI-CONTROLLER case (a dp-sharded output spans
+                    # processes and is not addressable from any one host);
+                    # [B,1,V] per step — small next to the decode itself
+                    return jax.lax.all_gather(logits, "dp", axis=0,
+                                              tiled=True), cache
+
                 fn = shard_map(
-                    functools.partial(_decode_local, kv_bound=kv_bound),
-                    mesh=mesh,
+                    _body, mesh=mesh,
                     in_specs=(pspecs, cspec, P("dp", None), P("dp")),
-                    out_specs=(P("dp", None, None), cspec), check_vma=False)
+                    out_specs=(P(None, None, None), cspec), check_vma=False)
                 return fn(params, cache, tokens, pos_vec)
 
             @functools.partial(jax.jit,
@@ -261,15 +270,18 @@ class InferenceEngine:
 
                 def _shard_body(params, cache, first_tok, pos0, key,
                                 temperature, top_p):
-                    return _decode_scan_local(params, cache, first_tok, pos0,
-                                              key, n_steps, greedy,
-                                              temperature, kv_bound, top_k,
-                                              top_p)
+                    toks, cache = _decode_scan_local(
+                        params, cache, first_tok, pos0, key, n_steps, greedy,
+                        temperature, kv_bound, top_k, top_p)
+                    # replicate the sampled tokens over dp (multi-controller
+                    # addressability — see _decode); [n_steps, B] int32
+                    return jax.lax.all_gather(toks, "dp", axis=1,
+                                              tiled=True), cache
 
                 fn = shard_map(
                     _shard_body, mesh=mesh,
                     in_specs=(pspecs, cspec, P("dp"), P("dp"), rep, tspec, rep),
-                    out_specs=(P(None, "dp"), cspec), check_vma=False)
+                    out_specs=(P(None, None), cspec), check_vma=False)
                 return fn(params, cache, first_tok, pos0, key, temperature,
                           top_p)
 
@@ -283,6 +295,11 @@ class InferenceEngine:
         """Fill `slot_id`'s cache rows with the prompt; returns logits of the
         last prompt position.  Only the admitted slot's rows move (donated
         in-place update) — other lanes keep decoding unperturbed."""
+        return np.asarray(self._prefill_device(slot_id, prompt))
+
+    def _prefill_device(self, slot_id: int, prompt: List[int]):
+        """prefill() without the host transfer: returns the last-position
+        logits row as a DEVICE array."""
         slot = self.slots[slot_id]
         n = len(prompt)
         s = _bucket(n)
@@ -293,7 +310,24 @@ class InferenceEngine:
         slot.pos = n
         slot.active = True
         slot.tokens = list(prompt)
-        return np.asarray(logits[0, n - 1])
+        return logits[0, n - 1]
+
+    def prefill_sample(self, slot_id: int, prompt: List[int],
+                       temperature: float = 0.0, seed: int = 0,
+                       top_k: int = 0, top_p: float = 1.0) -> int:
+        """Admit a prompt AND sample its first token ON DEVICE with the
+        deterministic key schedule key = fold_in(PRNGKey(seed), len(prompt))
+        — the same schedule in every path (generate_fused / run_queue), so a
+        sampled request reproduces exactly across them (the host-numpy first
+        token of r2 used a second RNG stream and did not)."""
+        from csinn2_tpu.llm.sampling import sample_logits
+        logits = self._prefill_device(slot_id, prompt)
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), len(prompt))
+        tok = sample_logits(logits.astype(jnp.float32), key,
+                            temperature=jnp.float32(max(temperature, 1e-6)),
+                            top_k=top_k, top_p=jnp.float32(top_p),
+                            greedy=temperature <= 0)
+        return int(tok)
 
     def _kv_bound(self, extra: int = 1) -> int:
         mx = max((s.pos for s in self.slots if s.active), default=16)
@@ -364,9 +398,11 @@ class InferenceEngine:
                 if slot.active or not queue:
                     continue
                 req = queue.pop(0)
-                logits = self.prefill(slot.id, req.prompt)
-                rng = np.random.default_rng(seed + len(req.prompt))
-                tok = self._sample(logits, req.temperature, rng)
+                # first token sampled ON DEVICE with the shared key schedule
+                # (reproducible vs generate_fused; see prefill_sample)
+                tok = self.prefill_sample(slot.id, req.prompt,
+                                          temperature=req.temperature,
+                                          seed=seed)
                 req.slot = slot.id
                 req.out = [tok]
                 pending[slot.id] = req
@@ -432,14 +468,16 @@ class InferenceEngine:
     def generate_fused(self, prompt: List[int], max_new_tokens: int = 32,
                        temperature: float = 0.0, seed: int = 0,
                        top_k: int = 0, top_p: float = 1.0) -> List[int]:
-        """Like generate(), but all decode steps run inside one jitted
-        lax.scan — one device program for the whole completion, sampling
-        (incl. top-k/top-p) on device."""
-        logits = self.prefill(0, prompt)
-        rng = np.random.default_rng(seed)
-        first = self._sample(logits, temperature, rng, top_k, top_p)
+        """Like generate(), but everything samples on device: the first
+        token right after prefill (shared key schedule, see prefill_sample)
+        and all decode steps inside one jitted lax.scan.  Token-for-token
+        reproducible against a single-request run_queue with the same seed
+        (run_queue's first decode chunk uses step seed `seed + 1`; so does
+        this)."""
+        first = self.prefill_sample(0, prompt, temperature=temperature,
+                                    seed=seed, top_k=top_k, top_p=top_p)
         seq = self.decode_steps({0: first}, max_new_tokens - 1,
-                                temperature=temperature, seed=seed,
+                                temperature=temperature, seed=seed + 1,
                                 top_k=top_k, top_p=top_p)[0]
         return [first] + seq
 

@@ -41,13 +41,19 @@ def init_distributed(coordinator_address: Optional[str] = None,
     metadata / SLURM / env vars) — the standard JAX multi-controller model:
     one process per host, each seeing its local chips, jax.devices() global.
     Returns process_count.  (Net-new vs the single-process reference —
-    SURVEY.md §2 parallelism accounting; mandated by BASELINE config 5.)"""
-    if jax.process_count() > 1:
+    SURVEY.md §2 parallelism accounting; mandated by BASELINE config 5.)
+
+    NB: must run before anything touches the XLA backend — so the
+    already-initialized check inspects the distributed client directly
+    instead of calling jax.process_count() (which would itself initialize
+    the backend and make the subsequent initialize() raise)."""
+    from jax._src import distributed as _dist
+    if getattr(_dist.global_state, "client", None) is not None:
         return jax.process_count()          # already initialized
     try:
         jax.distributed.initialize(coordinator_address, num_processes,
                                    process_id)
-    except (ValueError, RuntimeError) as e:
+    except (ValueError, RuntimeError):
         # single-process run (no coordinator/env): stay local
         if num_processes not in (None, 1):
             raise
@@ -71,6 +77,12 @@ def make_multihost_mesh(tp: Optional[int] = None,
     want_dp = nproc * dp_local
     assert dp in (None, want_dp), f"dp={dp} != processes×(local/tp)={want_dp}"
     from jax.experimental import mesh_utils
-    devs = mesh_utils.create_hybrid_device_mesh(
-        (dp_local, tp), (nproc, 1))         # ici shape × dcn shape
+    try:
+        # TPU pods: granule = slice (ICI domain) from device metadata
+        devs = mesh_utils.create_hybrid_device_mesh(
+            (dp_local, tp), (nproc, 1))     # ici shape × dcn shape
+    except ValueError:
+        # CPU multi-process (no slice metadata): granule = process
+        devs = mesh_utils.create_hybrid_device_mesh(
+            (dp_local, tp), (nproc, 1), process_is_granule=True)
     return Mesh(devs, axis_names=("dp", "tp"))

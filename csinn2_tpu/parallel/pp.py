@@ -244,16 +244,20 @@ class SPMDPipelinedLlama:
             (h, ck, cv, out_buf), _ = lax.scan(
                 tick, (h0, cache_k, cache_v, out0),
                 jnp.arange(M + Pn - 1, dtype=jnp.int32))
-            # only the last stage's out_buf is meaningful; emit one copy per
-            # stage and let the caller take shard Pn-1 (no collective needed)
-            return out_buf[None], ck, cv
+            # only the last stage's out_buf is meaningful: zero the others
+            # (free — they are already zeros, tick masks every write with
+            # sidx == Pn-1) and psum once so the result comes back REPLICATED
+            # ([M, mb, s, D], not a [P, M, ...] per-stage stack — the psum is
+            # effectively a broadcast from the last stage, one collective)
+            out = lax.psum(jnp.where(sidx == Pn - 1, out_buf, 0.0), "pp")
+            return out, ck, cv
 
         pspec = P("pp")
         from jax.experimental.shard_map import shard_map
         fn = shard_map(
             body, mesh=self.mesh,
             in_specs=(pspec, P(), pspec, pspec, P()),
-            out_specs=(pspec, pspec, pspec),
+            out_specs=(P(), pspec, pspec),
             check_rep=False)
         return jax.jit(fn)
 
@@ -269,7 +273,7 @@ class SPMDPipelinedLlama:
             self._fn_scale = cache.scale
         out, ck, cv = self._fn(self.layers, x_mb, cache.k, cache.v,
                                jnp.asarray(pos, jnp.int32))
-        y = out[self.P - 1].reshape(B, s, x.shape[-1])          # last stage
+        y = out.reshape(B, s, x.shape[-1])      # replicated last-stage output
         y = rms_norm(y, self.norm, self.cfg.norm_eps)
         logits = linear(y.astype(jnp.bfloat16), self.output,
                         use_pallas=self.use_pallas)

@@ -31,7 +31,9 @@ _FUSABLE = {
     "hard_swish", "hard_sigmoid", "erf", "add", "sub", "mul", "div",
     "minimum", "maximum", "requantize", "quantize", "dequantize",
     "data_convert", "pad", "reshape", "squeeze", "expand_dims", "transpose",
-    "cast", "bn", "batch_normalization", "softmax", "bias_add",
+    "cast", "bn", "batch_normalization", "bias_add",
+    # NOT softmax: a multi-pass reduction XLA generally emits as its own
+    # kernel, so it pays its own HBM bytes (matters for attention graphs)
 }
 
 # ops that are pure shape/metadata moves — free under XLA
@@ -149,13 +151,29 @@ class RooflineReport:
         return "\n".join(lines)
 
 
-def analyze(session, peak_tops: float = 394.0,
+def analyze(session, peak_tops: Optional[float] = None,
             hbm_gbps: float = 819.0) -> RooflineReport:
     """Roofline report for a set-up session's graph.
 
-    Defaults are v5e int8: 394 TOPS MXU, 819 GB/s HBM.  Pass
-    peak_tops=197*2 f32-halved etc. for other dtypes."""
+    peak_tops defaults by the DOMINANT matrix-node carrier dtype (v5e:
+    394 TOPS int8, 197 TFLOPS bf16/f16, ~half that for f32 carriers) —
+    pass it explicitly to override."""
     g = session.graph
+    if peak_tops is None:
+        votes = {"int": 0, "bf16": 0, "f32": 0}
+        for n in g.nodes:
+            if n.op in ("conv2d", "depthwise_conv2d", "group_conv2d",
+                        "conv2d_relu", "conv2d_relu6", "deconv2d", "ds_block",
+                        "fullyconnected", "matmul", "cache_matmul"):
+                dt = str(getattr(n.inputs[0].meta, "dtype", "")).lower()
+                if "int" in dt or "uint" in dt:
+                    votes["int"] += 1
+                elif "32" in dt:
+                    votes["f32"] += 1
+                else:
+                    votes["bf16"] += 1
+        top = max(votes, key=votes.get)
+        peak_tops = {"int": 394.0, "bf16": 197.0, "f32": 98.5}[top]
     consts_ids = set(g.consts.keys()) if g.consts else set()
     # fall back: tensors carrying a const_key or payload are weights
     for n in g.nodes:

@@ -49,10 +49,19 @@ def kl_divergence(p: np.ndarray, q: np.ndarray) -> float:
     return float(np.sum(p * np.log(p / q)))
 
 
-def verify(out, golden, tol: float = 1e-4, min_cosine: float = 0.99) -> VerifyResult:
-    """Elementwise + aggregate compare; passes if every element is within
-    abs-or-rel `tol` OR the aggregate cosine similarity clears `min_cosine`
-    (the reference CI gates on 0.99 similarity, tests/autotest/conftest.py:34)."""
+def verify(out, golden, tol: float = 1e-4, min_cosine: float = 0.99,
+           mode: str = "strict") -> VerifyResult:
+    """Elementwise + aggregate compare (ref CI similarity gate 0.99,
+    tests/autotest/conftest.py:34).  Pass criterion by `mode`:
+
+      "strict" (default, kernel/op-level): EVERY element within abs-or-rel
+               `tol` — a cosine score cannot mask localized errors.
+      "cosine" (end-to-end model gate): aggregate cosine >= min_cosine —
+               the reference's model-level gate (compute_cs,
+               tests/llm/llama2.c:23-40), where accumulated quantization
+               error has no meaningful per-element bound.
+      "any"    legacy OR of the two arms (elementwise pass or cosine pass).
+    """
     out = np.asarray(out, np.float64)
     golden = np.asarray(golden, np.float64)
     assert out.shape == golden.shape, f"shape {out.shape} vs {golden.shape}"
@@ -61,7 +70,13 @@ def verify(out, golden, tol: float = 1e-4, min_cosine: float = 0.99) -> VerifyRe
     bad = (abs_err > tol) & (rel_err > tol)
     cos = cosine_similarity(out, golden)
     kl = kl_divergence(out, golden)
-    passed = (not bad.any()) or cos >= min_cosine
+    if mode == "strict":
+        passed = not bad.any()
+    elif mode == "cosine":
+        passed = cos >= min_cosine
+    else:
+        assert mode == "any", mode
+        passed = (not bad.any()) or cos >= min_cosine
     return VerifyResult(
         max_abs_err=float(abs_err.max()) if abs_err.size else 0.0,
         max_rel_err=float(rel_err.max()) if rel_err.size else 0.0,

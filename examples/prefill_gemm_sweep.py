@@ -29,7 +29,13 @@ def device_time(fn, args, iters=32):
             ins = [jax.lax.dynamic_index_in_dim(s, i % 2, 0, keepdims=False)
                    for s in st]
             out = fn(*ins)
-            return acc + jnp.sum(out.reshape(-1)[:8].astype(jnp.float32))
+            # checksum = sum of SQUARES of the full output: a [:8] slice lets
+            # XLA dead-code-eliminate GEMM columns (measured "2451 TFLOPS"),
+            # and a plain sum lets the algebraic simplifier factor
+            # sum(x@W) into rank-1 reductions (measured "324 TFLOPS");
+            # sum((x@W)^2) admits neither rewrite.
+            o = out.astype(jnp.float32)
+            return acc + jnp.sum(o * o)
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
     jfn = jax.jit(looped, static_argnums=0)
@@ -64,14 +70,27 @@ def main():
         print(f"M{M} K{K} N{N} bf16-XLA            : {t*1e6:8.1f} us "
               f"{flops/t/1e12:6.1f} TFLOPS", flush=True)
 
-        for (bm, bn, bk, wt) in [
-            (None, None, None, False),       # current defaults, [K,N] layout
-            (None, None, None, True),        # current defaults, [N,K] layout
-            (128, 512, 2048, False),
-            (128, 1024, 1024, False),
-            (128, 512, 4096, True),
+        # XLA dequant-then-dot upper-reference (materializes bf16 weights;
+        # XLA may or may not fuse the dequant into the dot operand)
+        def xla_dq(a):
+            wf = wq.astype(jnp.bfloat16) * jnp.repeat(s, BLOCK, axis=0
+                                                      ).astype(jnp.bfloat16)
+            return jnp.dot(a, wf, preferred_element_type=jnp.float32)
+        t = device_time(xla_dq, [x])
+        print(f"M{M} K{K} N{N} q8_0 XLA dequant+dot   : {t*1e6:8.1f} us "
+              f"{flops/t/1e12:6.1f} TFLOPS", flush=True)
+
+        for (bm, bn, bk, wt, dq) in [
+            (None, None, None, False, "repeat"),  # current defaults, [K,N]
+            (None, None, None, True, "repeat"),   # current defaults, [N,K]
+            (128, 512, 2048, False, "repeat"),
+            (128, 1024, 1024, False, "repeat"),
+            (128, 1024, 1024, False, "bcast"),
+            (128, 1024, 2048, False, "repeat"),
+            (128, 2048, 1024, False, "repeat"),
+            (128, 512, 4096, True, "repeat"),
         ]:
-            kw = dict(scale_mode="block")
+            kw = dict(scale_mode="block", deq=dq)
             if wt:
                 args = (x, wqt, st)
                 kw["w_transposed"] = True
@@ -83,8 +102,9 @@ def main():
                 f = lambda a, _kw=kw, _w=args[1], _s=args[2]: quant_matmul(
                     a, _w, _s, **_kw)
                 t = device_time(f, [x])
-                lbl = f"bm{bm} bn{bn} bk{bk} wt={wt}" if bm else f"defaults wt={wt}"
-                print(f"M{M} K{K} N{N} q8_0 {lbl:22s}: {t*1e6:8.1f} us "
+                lbl = (f"bm{bm} bn{bn} bk{bk} wt={wt} {dq}" if bm
+                       else f"defaults wt={wt}")
+                print(f"M{M} K{K} N{N} q8_0 {lbl:28s}: {t*1e6:8.1f} us "
                       f"{flops/t/1e12:6.1f} TFLOPS", flush=True)
             except Exception as e:
                 print(f"M{M} K{K} N{N} bm{bm} bn{bn} bk{bk} wt={wt}: "

@@ -95,13 +95,16 @@ def _tiny_model(size=32):
     return MobileNetV1(alpha=0.25, input_size=size)
 
 
-def test_session_fusion_bit_exact_and_counts():
+def test_session_fusion_bit_exact_and_counts(monkeypatch):
     model = _tiny_model()
     rng = np.random.default_rng(1)
     x = rng.random(model.input_shape(2)).astype(np.float32)
     model.calibrate(x)
 
-    # fusion is opt-in (slower than XLA's conv pair on v5e; see fuse.py)
+    # fusion is opt-in (slower than XLA's conv pair on v5e; see fuse.py);
+    # isolate from a developer's exported CSINN2_FUSE_DS
+    monkeypatch.delenv("CSINN2_FUSE_DS", raising=False)
+    monkeypatch.delenv("CSINN2_NO_FUSE_DS", raising=False)
     s_ref = model.build_session(QuantScheme.INT8_SYM, batch=2)
     assert not any(n.op == "ds_block" for n in s_ref.graph.nodes)
     xin = model.prepare_input(x, s_ref)
@@ -109,11 +112,9 @@ def test_session_fusion_bit_exact_and_counts():
 
     model2 = _tiny_model()
     model2.calibrate(x)
-    os.environ["CSINN2_FUSE_DS"] = "1"
-    try:
-        s_fused = model2.build_session(QuantScheme.INT8_SYM, batch=2)
-    finally:
-        del os.environ["CSINN2_FUSE_DS"]
+    monkeypatch.setenv("CSINN2_FUSE_DS", "1")
+    s_fused = model2.build_session(QuantScheme.INT8_SYM, batch=2)
+    monkeypatch.delenv("CSINN2_FUSE_DS")
     n_ds = sum(1 for n in s_fused.graph.nodes if n.op == "ds_block")
     assert n_ds == 13, n_ds                     # all 13 separable blocks
     got = np.asarray(s_fused.run(model2.prepare_input(x, s_fused)))
@@ -127,7 +128,7 @@ def test_fusion_skips_float_and_multiuse():
     assert not any(n.op == "ds_block" for n in s.graph.nodes)
 
 
-def test_fused_model_save_load_roundtrip(tmp_path):
+def test_fused_model_save_load_roundtrip(tmp_path, monkeypatch):
     """save_model on a set-up (fused) session replays ds_block through
     call_op on load (ref: csinn_import_binary_model, source/nn2/format.c:1304)."""
     from csinn2_tpu.runtime.export import load_model, save_model
@@ -135,11 +136,10 @@ def test_fused_model_save_load_roundtrip(tmp_path):
     rng = np.random.default_rng(2)
     x = rng.random(model.input_shape(1)).astype(np.float32)
     model.calibrate(x)
-    os.environ["CSINN2_FUSE_DS"] = "1"
-    try:
-        sess = model.build_session(QuantScheme.INT8_SYM, batch=1)
-    finally:
-        del os.environ["CSINN2_FUSE_DS"]
+    monkeypatch.delenv("CSINN2_NO_FUSE_DS", raising=False)
+    monkeypatch.setenv("CSINN2_FUSE_DS", "1")
+    sess = model.build_session(QuantScheme.INT8_SYM, batch=1)
+    monkeypatch.delenv("CSINN2_FUSE_DS")
     assert any(n.op == "ds_block" for n in sess.graph.nodes)
     xin = model.prepare_input(x, sess)
     ref = np.asarray(sess.run(xin))

@@ -314,6 +314,30 @@ def test_top_p_disabled_at_one():
     assert counts[1] > 20, counts     # ~uniform after tempering
 
 
+def test_sampled_generation_reproducible_across_paths(fparams):
+    """A SAMPLED (temperature>0) request must produce the same tokens through
+    run_queue as through generate_fused with the same seed: the first token
+    samples on device with the shared key schedule
+    key = fold_in(PRNGKey(seed), len(prompt)) and the first decode chunk uses
+    step seed seed+1 in both paths (r2 sampled the first token on host with
+    a numpy RNG — a second stream, irreproducible vs the device path)."""
+    from csinn2_tpu.llm.engine import Request
+    prompt, n, temp, seed = [3, 7, 11], 7, 0.8, 5
+    eng = InferenceEngine(CFG, fparams, batch=1, use_pallas=False)
+    fused = eng.generate_fused(prompt, max_new_tokens=n, temperature=temp,
+                               seed=seed)
+    assert len(fused) == n
+    eng2 = InferenceEngine(CFG, fparams, batch=1, use_pallas=False)
+    req = Request(prompt=prompt, max_new_tokens=n, temperature=temp)
+    eng2.run_queue([req], chunk=n, seed=seed)   # one chunk covers the request
+    assert req.out == fused, (req.out, fused)
+    # and the whole thing is deterministic run-to-run
+    eng3 = InferenceEngine(CFG, fparams, batch=1, use_pallas=False)
+    req3 = Request(prompt=prompt, max_new_tokens=n, temperature=temp)
+    eng3.run_queue([req3], chunk=n, seed=seed)
+    assert req3.out == req.out
+
+
 # -- TP-composed engine (mesh serving) ------------------------------------------
 
 def test_tp_fused_weights_interleave(fparams):

@@ -73,7 +73,10 @@ def test_conv2d_int8_quant(rng):
     out_qi = observe(golden, Dtype.INT8, symmetric=True)
     out = ops.conv2d(q8(x), q8(wgt, axis=0), Tensor(b), params, out_qinfo=out_qi)
     assert out.dtype == Dtype.INT8
-    r = verify(np.asarray(out.astype_f32()), golden, tol=0.1, min_cosine=0.99)
+    # strict elementwise gate: bound = a few output LSBs (accumulated input/
+    # weight quant noise over K=72 taps + 0.5 LSB requant rounding)
+    tol = float(6 * np.max(out_qi.scale))
+    r = verify(np.asarray(out.astype_f32()), golden, tol=tol, min_cosine=0.99)
     assert r.passed and r.cosine_sim > 0.99, r
 
 
