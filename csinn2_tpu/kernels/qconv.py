@@ -79,8 +79,9 @@ def _conv2d_quant(arrays, metas, params, out_qinfo, w_layout=Layout.OIHW):
     handled exactly by padding with zp instead of 0 and subtracting
     zp·Σw per out-channel afterwards (the reference folds the same
     correction into bias at init, ref: fuse_zp_to_bias,
-    tests/validation_layer/testutil.h).  Non-s8 carriers (int16) fall back
-    to a f32-carrier conv (bf16 would truncate >8-bit mantissas)."""
+    tests/validation_layer/testutil.h).  int16 carriers (INT16_SYM) run
+    s16×s16→s32 through the same integer path — exact where the f32-carrier
+    fallback is not (s16 products exceed the 24-bit f32 mantissa)."""
     x = arrays[0]
     w = arrays[1]
     bias = arrays[2] if len(arrays) > 2 else None
@@ -116,8 +117,14 @@ def _conv2d_quant(arrays, metas, params, out_qinfo, w_layout=Layout.OIHW):
         wv = (wv.astype(jnp.int16) - 128).astype(jnp.int8)
         zp = zp - 128.0
         zw_vec = np.asarray(w_zp, np.int64) - 128          # [O] or scalar
-    if x.dtype == jnp.int8 and wv.dtype == jnp.int8 and zp is not None:
-        # -- integer MXU path ------------------------------------------------
+    same_int = (x.dtype == wv.dtype and x.dtype in (jnp.int8, jnp.int16))
+    if same_int and zp is not None:
+        # -- integer path: s8×s8→s32 on the MXU int pipe; s16×s16→s32 lowers
+        # through XLA's integer conv (int16 is sym-only here, so zp == 0 —
+        # this is the exact-accumulation path the f32 carrier cannot provide:
+        # s16 products reach 2^30 > the f32 24-bit mantissa.
+        # (ref: the int16 GEMM core, source/c908_opt/gemm_int16_ncxhwx.S —
+        # same int32 accumulator, same >=2^31 saturation caveat at huge K)
         zp_i = int(round(zp))
         if zp_i != 0 or u8:
             # zp-pad so border windows see (zp - zp)·w = 0 like interior ones
@@ -125,7 +132,7 @@ def _conv2d_quant(arrays, metas, params, out_qinfo, w_layout=Layout.OIHW):
             haxis = 1 if params.layout == Layout.NHWC else 2
             pads[haxis] = (pt, pd)
             pads[haxis + 1] = (pl_, pr)
-            x = jnp.pad(x, pads, constant_values=np.int8(zp_i))
+            x = jnp.pad(x, pads, constant_values=np.asarray(zp_i, x.dtype))
             padding = ((0, 0), (0, 0))
         else:
             padding = ((pt, pd), (pl_, pr))
@@ -168,16 +175,14 @@ def _conv2d_quant(arrays, metas, params, out_qinfo, w_layout=Layout.OIHW):
             acc = acc - jnp.reshape(zw_arr, shape) * winsum
         acc = acc.astype(jnp.float32)
     else:
-        # -- float-carrier fallback (asym-unknown zp, int16, u8) -------------
+        # -- float-carrier fallback (asym-unknown zp, mixed dtypes) ----------
         def _widen(a):
             # int8→int32→bf16: a direct int8→bf16 convert fused into a grouped
             # conv miscompiles to NaN on v5e (XLA fusion bug, verified
-            # empirically); int16 needs the f32 carrier for exactness
-            if a.dtype in (jnp.int8, jnp.uint8):
-                return a.astype(jnp.int32).astype(jnp.bfloat16)
-            if a.dtype == jnp.int16:
-                return a.astype(jnp.float32)
-            return a.astype(jnp.bfloat16)
+            # empirically); int16 carries in f32 (bf16 would truncate) but is
+            # NOT bit-exact at s16 full scale — the integer path above is
+            return a.astype(jnp.int32).astype(
+                jnp.float32 if a.dtype == jnp.int16 else jnp.bfloat16)
 
         xb = _widen(x)
         wb = _widen(wv)
@@ -246,9 +251,12 @@ def _fc_quant(arrays, metas, params, out_qinfo):
         x = (x.astype(jnp.int16) - 128).astype(jnp.int8)
         w = (w.astype(jnp.int16) - 128).astype(jnp.int8)
         zp = zp - 128.0
-    if x.dtype == jnp.int8 and w.dtype == jnp.int8 and zp is not None:
-        # integer MXU dot s8×s8→s32 (exact); zp corrections are exact for a
-        # dense dot (the reference's fuse_zp_to_bias fold,
+    if (x.dtype == w.dtype and x.dtype in (jnp.int8, jnp.int16)
+            and zp is not None):
+        # integer dot s8×s8→s32 on the MXU int pipe (s16×s16→s32 through
+        # XLA's integer dot — the exact-accumulation path for INT16_SYM,
+        # ref: gemm_int16_ncxhwx.S); zp corrections are exact for a dense
+        # dot (the reference's fuse_zp_to_bias fold,
         # tests/validation_layer/testutil.h):
         # (x-zx)@(W-zw)ᵀ = x@Wᵀ - zx·Σ_k W - zw·(Σ_k x - K·zx)
         acc = lax.dot_general(x, w, (((x.ndim - 1,), (1,)), ((), ())),

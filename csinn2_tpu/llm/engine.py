@@ -286,6 +286,7 @@ class InferenceEngine:
                           top_p)
 
         self._prefill_fn = _prefill
+        self._prefill_local_fn = _prefill_local    # for benchmark_prefill_device
         self._decode_fn = _decode
         self._decode_scan_fn = _decode_scan
 
@@ -503,6 +504,46 @@ class InferenceEngine:
             self.decode_step(toks)
         dt = time.perf_counter() - t0
         return self.batch * iters / dt
+
+    def benchmark_prefill_device(self, n_prompt: int = 128, iters: int = 8,
+                                 reps: int = 3):
+        """TRUE device TTFT: the full prefill step (bucketed forward + cache
+        scatter) repeated inside ONE fori_loop executable, marginal long-
+        minus-short.  Host wall-clock over a tunneled runtime measures the
+        RPC round-trip (~23 ms floor on axon) on top of — or instead of —
+        device time, so it cannot gate a <20 ms prefill.  The loop count is
+        a TRACED argument (one compile serves both lengths)."""
+        assert self.mesh is None, "prefill benchmark is single-chip"
+        s = _bucket(n_prompt)
+        toks = np.zeros((1, s), np.int32)
+        toks[0, :n_prompt] = (np.arange(n_prompt) % 997) + 1
+        toks = jnp.asarray(toks)
+        prefill_local = self._prefill_local_fn
+        params = self.params
+        scale = self.cache.scale
+
+        @jax.jit
+        def looped(n, k, v):
+            def body(i, carry):
+                k, v, acc = carry
+                cache = KVCache(k=k, v=v, scale=scale)
+                logits, cache = prefill_local(params, cache, toks + (i % 2),
+                                              jnp.int32(0), s)
+                return (cache.k, cache.v,
+                        acc + logits[0, -1, 0].astype(jnp.float32))
+            _, _, acc = jax.lax.fori_loop(0, n, body,
+                                          (k, v, jnp.float32(0.0)))
+            return acc
+
+        def fetch(n):
+            t0 = time.perf_counter()
+            np.asarray(looped(jnp.int32(n), self.cache.k, self.cache.v))
+            return time.perf_counter() - t0
+
+        fetch(1); fetch(1 + iters)
+        t_s = min(fetch(1) for _ in range(reps))
+        t_l = min(fetch(1 + iters) for _ in range(reps))
+        return max(t_l - t_s, 1e-12) / iters
 
     def benchmark_decode_device(self, iters: int = 64, reps: int = 3,
                                 pos0: int = 16):

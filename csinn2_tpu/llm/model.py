@@ -551,6 +551,59 @@ def moe_ffn_block(x, layer_params, cfg: LlamaConfig, use_pallas=None,
     return out
 
 
+def moe_ffn_block_routed(x, layer_params, cfg: LlamaConfig, use_pallas=None,
+                         capacity_factor: float = 2.0):
+    """Capacity-based ROUTED MoE dispatch (single device): tokens gather into
+    per-expert buffers of static capacity cap = ceil(T·k/E·factor) via the
+    Mesh-TensorFlow-style dispatch einsum, each expert computes only its
+    buffer ([cap, D] instead of all T tokens), and a combine einsum scatters
+    the weighted results back.
+
+    vs the dense no-drop formulation (moe_ffn_block): dense burns E/k× the
+    expert FLOPs but has zero dispatch overhead and can never drop a token;
+    routed pays two [T,E·cap]-shaped einsums + gather/scatter and drops
+    tokens beyond capacity (exact whenever per-expert load ≤ cap — guaranteed
+    at capacity_factor ≥ E/k since cap ≥ T).  Which wins at inference batch
+    sizes is MEASURED, not assumed: examples/moe_dispatch_probe.py records
+    the crossover; the engine default stays dense for small decode batches.
+    """
+    b, s, D = x.shape
+    T = b * s
+    E, k = cfg.n_experts, cfg.moe_top_k
+    xt = x.reshape(T, D)
+    gl = jnp.einsum("td,de->te", xt.astype(jnp.float32), layer_params["gate"])
+    topv, topi = jax.lax.top_k(gl, k)                       # [T, k]
+    topw = jax.nn.softmax(topv, axis=-1)
+    cap = max(1, min(T, int(np.ceil(T * k / E * capacity_factor))))
+
+    # rank of each (token, choice) within its expert queue
+    oh = jax.nn.one_hot(topi, E, dtype=jnp.int32)           # [T, k, E]
+    ranks = jnp.cumsum(oh.reshape(T * k, E), axis=0).reshape(T, k, E) - oh
+    r = jnp.take_along_axis(ranks, topi[..., None], axis=2)[..., 0]  # [T, k]
+    keep = (r < cap).astype(jnp.float32)
+
+    oh_cap = jax.nn.one_hot(r, cap, dtype=jnp.float32) * keep[..., None]
+    # dispatch[t,e,c] ∈ {0,1}; combine[t,e,c] = router weight
+    disp = jnp.einsum("tke,tkc->tec", oh.astype(jnp.float32), oh_cap)
+    comb = jnp.einsum("tke,tkc->tec", oh.astype(jnp.float32),
+                      oh_cap * topw[..., None])
+
+    xin = jnp.einsum("tec,td->ecd", disp, xt.astype(jnp.float32)) \
+        .astype(jnp.bfloat16)                               # [E, cap, D]
+    ys = []
+    for e in range(E):
+        h1 = linear(xin[e], _expert_slice(layer_params["w1"], e),
+                    use_pallas=use_pallas)
+        h3 = linear(xin[e], _expert_slice(layer_params["w3"], e),
+                    use_pallas=use_pallas)
+        h = (jax.nn.silu(h1) * h3).astype(jnp.bfloat16)
+        ys.append(linear(h, _expert_slice(layer_params["w2"], e),
+                         use_pallas=use_pallas))
+    ye = jnp.stack(ys)                                      # [E, cap, D]
+    out = jnp.einsum("tec,ecd->td", comb, ye.astype(jnp.float32))
+    return out.reshape(b, s, D)
+
+
 def llama_forward(params, tokens, cache: KVCache, pos, cfg: LlamaConfig,
                   use_pallas: Optional[bool] = None,
                   tp_axis: Optional[str] = None,

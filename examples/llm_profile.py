@@ -30,7 +30,9 @@ def device_time(fn, args, iters=32, reps=3):
     staged = [jax.device_put(jnp.stack([a, a])) for a in args]
     staged = jax.block_until_ready(staged)
 
-    def looped(n, *st):
+    # traced loop count: ONE compile serves both loop lengths
+    @jax.jit
+    def jfn(n, *st):
         def body(i, acc):
             ins = [jax.lax.dynamic_index_in_dim(s, i % 2, 0, keepdims=False)
                    for s in st]
@@ -41,11 +43,9 @@ def device_time(fn, args, iters=32, reps=3):
                              or jnp.issubdtype(l.dtype, jnp.integer))
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    jfn = jax.jit(looped, static_argnums=0)
-
     def fetch(n):
         t0 = time.perf_counter()
-        np.asarray(jfn(n, *staged))
+        np.asarray(jfn(jnp.int32(n), *staged))
         return time.perf_counter() - t0
 
     fetch(2); fetch(2 + iters)

@@ -33,6 +33,11 @@ SCHEMES = {
                   tol=None, cos=0.99),
     "u8":    dict(adt=Dtype.UINT8, wdt=Dtype.INT8, perchan=False,
                   tol=None, cos=0.99),
+    # 16-bit sym (ref README.md:8-16; int16 GEMM gemm_int16_ncxhwx.S):
+    # conv/FC ride the exact s16×s16→s32 integer path, so the per-element
+    # bound is a few 16-bit LSBs — ~256× tighter than the i8 column
+    "i16":   dict(adt=Dtype.INT16, wdt=Dtype.INT16, perchan=False,
+                  tol=None, cos=0.9999),
 }
 ALL = list(SCHEMES)
 

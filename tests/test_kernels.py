@@ -310,3 +310,47 @@ def test_qfc_uint8_asym_weights_exact(rng):
         * (sx * sw.astype(np.float64))
     np.testing.assert_allclose(np.asarray(out.data, np.float64), golden,
                                rtol=1e-5, atol=1e-4)
+
+
+def test_int16_conv_fc_bit_exact(rng):
+    """INT16_SYM conv/FC must ride the s16×s16→s32 integer path and match an
+    int64-exact accumulation BIT-FOR-BIT after the f32 epilogue (the f32-
+    carrier fallback cannot: s16 products exceed the 24-bit f32 mantissa and
+    each accumulation step rounds).  Ref: the reference's int16 GEMM core
+    accumulates in int32 the same way (source/c908_opt/gemm_int16_ncxhwx.S);
+    README.md:8-16 headlines 16-bit support."""
+    import torch
+    import torch.nn.functional as F
+    from csinn2_tpu import ops
+    from csinn2_tpu.core.dtypes import Dtype
+    from csinn2_tpu.core.quant import QuantInfo
+    from csinn2_tpu.core.tensor import Tensor
+
+    sx, sw = 3.1e-4, 2.7e-4
+    qi = lambda s: QuantInfo(scale=s, zero_point=0, dtype=Dtype.INT16,
+                             scheme=QuantScheme.INT16_SYM)
+
+    # FC at K=1024: partial sums reach ~1e9 — exact in int32, NOT in f32
+    xq = rng.integers(-5000, 5000, (4, 1024)).astype(np.int16)
+    wq = rng.integers(-5000, 5000, (32, 1024)).astype(np.int16)
+    out = ops.fullyconnected(Tensor(xq, qinfo=qi(sx)), Tensor(wq, qinfo=qi(sw)),
+                             None, ops.FCParams(units=32))
+    acc = xq.astype(np.int64) @ wq.astype(np.int64).T
+    assert np.abs(acc).max() < 2**31          # inside the int32 accumulator
+    expected = acc.astype(np.int32).astype(np.float32) \
+        * (np.float32(sx) * np.float32(sw))
+    np.testing.assert_array_equal(np.asarray(out.data, np.float32), expected)
+
+    # conv2d 3x3, cin=8 (72 taps)
+    xq = rng.integers(-5000, 5000, (1, 8, 10, 10)).astype(np.int16)
+    wq = rng.integers(-5000, 5000, (16, 8, 3, 3)).astype(np.int16)
+    params = ops.Conv2dParams(stride=(1, 1), pad=(1, 1, 1, 1))
+    out = ops.conv2d(Tensor(xq, qinfo=qi(sx)), Tensor(wq, qinfo=qi(sw)),
+                     None, params)
+    acc = F.conv2d(torch.tensor(xq, dtype=torch.float64),
+                   torch.tensor(wq, dtype=torch.float64),
+                   padding=1).numpy()        # f64 conv is exact at ~1e9
+    assert np.abs(acc).max() < 2**31
+    expected = acc.astype(np.int64).astype(np.int32).astype(np.float32) \
+        * (np.float32(sx) * np.float32(sw))
+    np.testing.assert_array_equal(np.asarray(out.data, np.float32), expected)

@@ -155,3 +155,38 @@ def test_spmd_pipeline_single_executable():
     n0 = pipe._fn._cache_size()
     _, pcache = pipe(jnp.asarray(toks), pcache, 2)
     assert pipe._fn._cache_size() == n0 == 1
+
+
+def test_moe_routed_matches_dense():
+    """At capacity_factor >= E/k (cap = T) routed dispatch can never drop a
+    token, so it must match the dense no-drop formulation exactly (both are
+    the same math, different data movement)."""
+    import jax.numpy as jnp
+    from csinn2_tpu.llm.model import (FLOAT, init_params, moe_ffn_block,
+                                      moe_ffn_block_routed)
+    cfg = LlamaConfig.tiny_moe(n_experts=4)
+    params = init_params(cfg, mode=FLOAT, seed=3)
+    lp = params["layers"][0]
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 5, cfg.dim)), jnp.bfloat16)
+    dense = np.asarray(moe_ffn_block(x, lp, cfg, use_pallas=False), np.float32)
+    routed = np.asarray(moe_ffn_block_routed(
+        x, lp, cfg, use_pallas=False,
+        capacity_factor=cfg.n_experts / cfg.moe_top_k), np.float32)
+    np.testing.assert_allclose(routed, dense, rtol=2e-2, atol=2e-3)
+
+
+def test_moe_routed_drops_beyond_capacity():
+    """With a tiny capacity the routed path drops overflow tokens (returns
+    partial sums) instead of crashing — static shapes, XLA-friendly."""
+    import jax.numpy as jnp
+    from csinn2_tpu.llm.model import FLOAT, init_params, moe_ffn_block_routed
+    cfg = LlamaConfig.tiny_moe(n_experts=4)
+    params = init_params(cfg, mode=FLOAT, seed=3)
+    lp = params["layers"][0]
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 16, cfg.dim)), jnp.bfloat16)
+    out = moe_ffn_block_routed(x, lp, cfg, use_pallas=False,
+                               capacity_factor=0.25)
+    assert out.shape == (1, 16, cfg.dim)
+    assert bool(jnp.isfinite(jnp.asarray(out, jnp.float32)).all())
