@@ -48,6 +48,22 @@ def _round_up(x, m):
     return _cdiv(x, m) * m
 
 
+def _pick_tile(dim, target):
+    """Largest multiple-of-128 divisor of `dim` that is <= target (dim is
+    already 128-rounded, so 128 itself always qualifies).  A tile that does
+    NOT divide the dim forces a jnp.pad of the whole weight INSIDE the jit —
+    a full HBM copy per call (measured: the 7B w13 GEMM, N=22016, ran 2x
+    slower than wqkv, N=12288, at the same tile config purely from the pad;
+    examples/prefill_tile_tune.py)."""
+    best = 128
+    d = 128
+    while d <= target:
+        if dim % d == 0:
+            best = d
+        d += 128
+    return best
+
+
 # -- int4 nibble packing ------------------------------------------------------
 # llama.cpp Q4_0 byte layout (ref: block_dequantize_q4, source/nn2/utils.c:2079
 # — low nibble = element j, high nibble = element j+16 of the 32-block): byte
@@ -270,16 +286,37 @@ def quant_matmul(x, w_q, scales=None, bias=None, *, scale_mode: str = "channel",
             # 483 GiB/s for the narrow bn=256/bk=2048 tiling); cap the tile
             # at ~6 MiB so the double-buffered pipeline fits VMEM
             bm = bm or 8
-            bk = bk or 1024
+            # bk must DIVIDE the rounded K or the whole weight gets jnp.pad'ed
+            # inside the jit (w2's K=11008 with bk=1024 -> Kp=11264 was a
+            # 45 MB HBM copy per decode call); see _pick_tile
+            bk = bk or _pick_tile(_round_up(K, 128), 1024)
             if bn is None:
-                bn = _round_up(N, 128)
+                Nr = _round_up(N, 128)
+                bn = Nr
                 wbytes = 0.5 if packed_int4 else 1.0
                 while bn * bk * wbytes > 6 * 2**20 and bn > 512:
-                    bn = _round_up(bn // 2, 128)
+                    bn = _pick_tile(Nr, bn // 2)   # keep bn | Nr (no pad)
         else:
-            bm = bm or 256
-            bn = bn or 256
-            bk = bk or 512
+            # prefill/FC shapes: WIDE-N divisor-aware tiles.  Measured on v5e
+            # at the 7B prefill shapes (M=128, examples/prefill_tile_tune.py):
+            # the old 256/512 defaults ran at 57 TFLOPS; wide-N tiles
+            # (bn 3200-5504, bk 256-512) reach 147-158 TFLOPS (75-80% of the
+            # max(FLOP,HBM) SOL) — same pattern as the M<=16 decode tiles,
+            # where wide N makes every weight DMA row a long contiguous
+            # burst.  Tiles must divide the 128-rounded dims (see _pick_tile)
+            # and the double-buffered working set must fit ~16 MiB VMEM.
+            bm = bm or min(256, _round_up(M, 8))
+            wbytes = 0.5 if packed_int4 else 1.0
+            Nr, Kr = _round_up(N, 128), _round_up(K, 128)
+            bn_auto = bn is None
+            if bn is None:
+                bn = _pick_tile(Nr, 5504)
+            if bk is None:
+                bk = _pick_tile(Kr, max(256, (3 * 2**20) // bn))
+            while bn_auto and bn > 512 and (
+                    bn * bk * wbytes * 2 + bm * bk * 2 * 2
+                    + bm * bn * 4 * 3) > 15.5 * 2**20:
+                bn = _pick_tile(Nr, bn // 2)
 
     bm = min(bm, _round_up(M, 8))
     bn = min(bn, _round_up(N, 128))

@@ -519,11 +519,13 @@ class InferenceEngine:
         toks[0, :n_prompt] = (np.arange(n_prompt) % 997) + 1
         toks = jnp.asarray(toks)
         prefill_local = self._prefill_local_fn
-        params = self.params
         scale = self.cache.scale
 
+        # params MUST be a jit argument: closing over them captures 7.7 GB
+        # of weights as lowering CONSTANTS, which are serialized through the
+        # compiler (fatal over a remote-compile tunnel)
         @jax.jit
-        def looped(n, k, v):
+        def looped(n, params, k, v):
             def body(i, carry):
                 k, v, acc = carry
                 cache = KVCache(k=k, v=v, scale=scale)
@@ -537,7 +539,8 @@ class InferenceEngine:
 
         def fetch(n):
             t0 = time.perf_counter()
-            np.asarray(looped(jnp.int32(n), self.cache.k, self.cache.v))
+            np.asarray(looped(jnp.int32(n), self.params,
+                              self.cache.k, self.cache.v))
             return time.perf_counter() - t0
 
         fetch(1); fetch(1 + iters)

@@ -22,11 +22,13 @@ import jax
 import jax.numpy as jnp
 
 
-def device_time(fn, args, iters=32, reps=3):
+def device_time(fn, args, iters=256, reps=4):
     """Device-loop marginal timing; consumes a checksum of the FULL output
     (sum), so XLA cannot dead-code-eliminate any part of the computation
     (a [:8] slice checksum lets XLA DCE whole GEMM columns — measured
-    'impossible' 2451 TFLOPS before this fix)."""
+    'impossible' 2451 TFLOPS before this fix).  iters must push the marginal
+    well past the tunnel's ~0.5-1 ms RPC jitter: at 32 iters a 50 us
+    component is a 1.6 ms marginal and the sweep printed >peak TFLOPS."""
     staged = [jax.device_put(jnp.stack([a, a])) for a in args]
     staged = jax.block_until_ready(staged)
 

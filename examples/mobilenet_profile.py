@@ -29,32 +29,35 @@ HBM_GBPS = 819.0   # v5e HBM: 763 GiB/s = 819 GB/s
 INT8_TOPS = 394.0
 
 
-def device_time(fn, args, iters=48):
-    """Marginal device seconds/call of fn(*args) via fori_loop delta."""
+def device_time(fn, args, iters=96, reps=4):
+    """Marginal device seconds/call of fn(*args) via fori_loop delta.
+    Checksum is the FULL-output sum (a [:8] slice checksum lets XLA DCE
+    whole output channels — see examples/llm_profile.py); the loop count is
+    a traced argument so one compile serves both lengths."""
     staged = [jax.device_put(jnp.stack([a, a])) for a in args]
     staged = jax.block_until_ready(staged)
 
-    def looped(n, *st):
+    @jax.jit
+    def jfn(n, *st):
         def body(i, acc):
             ins = [jax.lax.dynamic_index_in_dim(s, i % 2, 0, keepdims=False)
                    for s in st]
             out = fn(*ins)
             if isinstance(out, (tuple, list)):
                 out = out[0]
-            return acc + jnp.sum(out.reshape(-1)[:8].astype(jnp.float32))
+            return acc + jnp.sum(out.astype(jnp.float32))
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    jfn = jax.jit(looped, static_argnums=0)
     base = 3
 
     def fetch(n):
         t0 = time.perf_counter()
-        float(np.asarray(jfn(n, *staged)))
+        float(np.asarray(jfn(jnp.int32(n), *staged)))
         return time.perf_counter() - t0
 
     fetch(base); fetch(base + iters)
-    t_s = min(fetch(base) for _ in range(3))
-    t_l = min(fetch(base + iters) for _ in range(3))
+    t_s = min(fetch(base) for _ in range(reps))
+    t_l = min(fetch(base + iters) for _ in range(reps))
     return max(t_l - t_s, 1e-12) / iters
 
 

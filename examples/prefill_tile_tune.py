@@ -27,7 +27,11 @@ HBM = 763e9 * 1.073  # GiB/s → B/s
 TF = 197e12
 
 
-def device_time(fn, args, iters=24, reps=3):
+def device_time(fn, args, iters=256, reps=4):
+    # iters must push the marginal well past the tunnel's RPC jitter
+    # (~0.5-1 ms on a ~23 ms round-trip): at 24 iters a 50 us kernel is a
+    # 1.2 ms marginal and the sweep printed impossible >peak TFLOPS; at 256
+    # iters the same kernel is a 13 ms marginal and the noise is <5%.
     staged = [jax.device_put(jnp.stack([a, a])) for a in args]
     staged = jax.block_until_ready(staged)
 
@@ -55,16 +59,25 @@ def main():
     print(f"# backend: {jax.default_backend()}", flush=True)
     M = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     rng = np.random.default_rng(0)
-    # 7B prefill shapes: wqkv, w13, w2, wo (+ lm_head)
-    shapes = [(4096, 12288), (4096, 22016), (11008, 4096), (4096, 4096)]
-    configs = [
-        (None, None, None, "repeat"),
-        (128, 1024, 1024, "repeat"),
-        (128, 1024, 1024, "bcast"),
-        (128, 1024, 2048, "repeat"),
-        (128, 2048, 1024, "repeat"),
-    ]
-    for K, N in shapes:
+    # 7B prefill shapes: wqkv, w13, w2, wo, lm_head.  Per-shape configs:
+    # defaults = the divisor-aware auto tiles (see qmatmul._pick_tile — tiles
+    # that don't divide the dims force a full-weight jnp.pad copy in-jit).
+    # r3 sweep history (v5e): defaults-r2 (256/512) ran 57-60 TF everywhere;
+    # divisor-aware 2048-class tiles fixed the in-jit pad copy and reached
+    # 103-140 TF; wide-N (bn 4096-5504, bk 256-512) won every shape tried:
+    # wqkv (2048,1024)=150.8 TF, w13 (5504,512)=146 TF, w2 (4096,256)=139.9,
+    # wo (2048,1024)=134.9, lm_head (1280,2048)=140.7.
+    shapes = {
+        (4096, 12288): [(128, 2048, 1024, "repeat"), (128, 4096, 512, "repeat"),
+                        (128, 6144, 512, "repeat")],
+        (4096, 22016): [(128, 5504, 512, "repeat")],
+        (11008, 4096): [(128, 4096, 256, "repeat")],
+        (4096, 4096): [(128, 2048, 1024, "repeat"), (128, 4096, 512, "repeat")],
+        (4096, 32000): [(128, 1280, 2048, "repeat"), (128, 3200, 512, "repeat"),
+                        (128, 3200, 1024, "repeat")],
+    }
+    for (K, N), extra in shapes.items():
+        configs = [(None, None, None, "repeat")] + extra
         x = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
         wq = jnp.asarray(rng.integers(-127, 128, (K, N)), jnp.int8)
         s = jnp.asarray(rng.random((K // BLOCK, N)) * 0.01, jnp.float32)

@@ -85,7 +85,9 @@ def direct_conv(x, w):
         preferred_element_type=jnp.float32).astype(x.dtype)
 
 
-def device_time(fn, args, iters=16, reps=3):
+def device_time(fn, args, iters=192, reps=4):
+    # iters must push the marginal past the tunnel's ~0.5-1 ms RPC jitter
+    # (at 16 iters a 50 us kernel is an unmeasurable 0.8 ms marginal)
     staged = [jax.device_put(jnp.stack([a, a])) for a in args]
     staged = jax.block_until_ready(staged)
 

@@ -190,3 +190,45 @@ def test_moe_routed_drops_beyond_capacity():
                                capacity_factor=0.25)
     assert out.shape == (1, 16, cfg.dim)
     assert bool(jnp.isfinite(jnp.asarray(out, jnp.float32)).all())
+
+
+def _scan_lengths(jaxpr):
+    """All lax.scan trip counts reachable from a (closed) jaxpr."""
+    out = []
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == "scan":
+            out.append(int(eqn.params["length"]))
+        for v in eqn.params.values():
+            if hasattr(v, "eqns"):                       # nested jaxpr
+                out.extend(_scan_lengths(v))
+            elif hasattr(v, "jaxpr"):                    # ClosedJaxpr
+                out.extend(_scan_lengths(v.jaxpr))
+    return out
+
+
+@pytest.mark.parametrize("stages,micro", [(4, 4), (4, 8)])
+def test_spmd_pipeline_tick_schedule(stages, micro):
+    """The compiled schedule is GPipe: ONE scan of exactly M+P-1 ticks (each
+    device computes one microbatch per tick), NOT a sequential M*P program —
+    the structural form of the (P-1)/(M+P-1) bubble fraction.  A wall-clock
+    overlap test is meaningless on the virtual CPU mesh (8 'devices' share 2
+    host cores, so concurrent ticks serialize); the schedule shape is the
+    invariant the hardware overlap rides on."""
+    from csinn2_tpu.parallel.pp import SPMDPipelinedLlama
+
+    cfg = LlamaConfig(dim=32, n_layers=4, n_heads=2, n_kv_heads=2,
+                      ffn_dim=64, vocab_size=64, max_seq_len=32)
+    params = init_params(cfg, mode=FLOAT, seed=7)
+    pipe = SPMDPipelinedLlama(params, cfg, n_stages=stages,
+                              microbatches=micro, use_pallas=False)
+    pcache = pipe.init_cache(batch=micro)
+    x_mb = jnp.zeros((micro, 1, 4, cfg.dim), jnp.float32)
+    fn = pipe._pipeline_fn(pcache.scale)
+    jaxpr = jax.make_jaxpr(lambda *a: fn(*a))(
+        pipe.layers, x_mb, pcache.k, pcache.v, jnp.int32(0))
+    lengths = _scan_lengths(jaxpr.jaxpr)
+    assert micro + stages - 1 in lengths, lengths          # GPipe ticks
+    assert micro * stages not in lengths or micro + stages - 1 != micro * stages
+    # bubble fraction implied by the schedule
+    bubble = (stages - 1) / (micro + stages - 1)
+    assert bubble < 0.5
