@@ -611,14 +611,19 @@ def _batched_decode_forward(params, tokens, cache, pos_vec, cfg, use_pallas,
             k_new = k_new.astype(cache.k.dtype)
             v_new = v_new.astype(cache.v.dtype)
 
-        def upd_row(buf_l, new_row, p):
-            # buf_l [S, hk, dh], new_row [1, hk, dh]
-            return jax.lax.dynamic_update_slice(buf_l, new_row, (p, 0, 0))
-
-        k_l = jax.vmap(upd_row)(cache.k[layer], k_new, pos_vec)
-        v_l = jax.vmap(upd_row)(cache.v[layer], v_new, pos_vec)
-        k = cache.k.at[layer].set(k_l)
-        v = cache.v.at[layer].set(v_l)
+        # ONE scatter of the [b, hk, dh] new rows into the full stacked
+        # cache.  The r2 formulation (vmap of dynamic_update_slice over a
+        # gathered cache.k[layer], then .at[layer].set) materialized the
+        # whole [B, S, hk, dh] layer slice — ~33 MB of read+write per layer,
+        # >1 GB of HBM traffic per decoded token at 7B/S=2048, measured as
+        # ~1.3 ms of the 15.8 ms step (examples/llm_profile.py).  A scatter
+        # at unique (row, pos) indices updates b·hk·dh bytes in place under
+        # the donated scan carry.
+        bidx = jnp.arange(k_new.shape[0])
+        k = cache.k.at[layer, bidx, pos_vec].set(k_new[:, 0],
+                                                 unique_indices=True)
+        v = cache.v.at[layer, bidx, pos_vec].set(v_new[:, 0],
+                                                 unique_indices=True)
         return KVCache(k=k, v=v, scale=cache.scale)
 
     hq, hk, dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -647,6 +652,13 @@ def _batched_decode_forward(params, tokens, cache, pos_vec, cfg, use_pallas,
             v_all = v_all[:, :kv_bound]
 
         if use_pallas:
+            # Measured negative result (v5e, r3): replacing this with a fused
+            # XLA einsum+softmax for s==1 (single-query attention is a
+            # batched matvec, and the flash kernel pays an 18.5 us/layer
+            # fixed cost vs the ~3 us KV-read floor at kv=256) REGRESSED the
+            # whole decode step 76.7 -> 55.2 tok/s: XLA materializes its own
+            # [b,hk,S,dh] transposes and schedules the matvec poorly.  The
+            # blocked flash kernel stays.
             from csinn2_tpu.kernels.flash_attention import flash_attention
             q_t = jnp.transpose(q, (0, 2, 1, 3)).astype(jnp.bfloat16)
             k_t = jnp.transpose(k_all, (0, 2, 1, 3))      # [b, hk, S, dh]

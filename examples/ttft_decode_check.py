@@ -37,6 +37,15 @@ def main():
 
     eng = InferenceEngine(cfg, params, batch=1, quantized_kv=True)
 
+    if "--decode-only" in sys.argv:
+        t0 = time.time()
+        tps = eng.benchmark_decode_device(iters=128)
+        dec_sol = HBM_GIBPS * 2**30 / tot
+        print(f"decode bs1: {tps:.1f} tok/s  (SOL {dec_sol:.0f} -> "
+              f"{100*tps/dec_sol:.0f}%)  [{time.time()-t0:.0f}s incl compile]",
+              flush=True)
+        return
+
     t0 = time.time()
     ttft = eng.benchmark_prefill_device(n_prompt=128, iters=8)
     flop_bound = 2.0 * n_params * 128 / (BF16_TFLOPS * 1e12)
