@@ -288,8 +288,11 @@ def quant_matmul(x, w_q, scales=None, bias=None, *, scale_mode: str = "channel",
             bm = bm or 8
             # bk must DIVIDE the rounded K or the whole weight gets jnp.pad'ed
             # inside the jit (w2's K=11008 with bk=1024 -> Kp=11264 was a
-            # 45 MB HBM copy per decode call); see _pick_tile
-            bk = bk or _pick_tile(_round_up(K, 128), 1024)
+            # 45 MB HBM copy per decode call); see _pick_tile.  bk target 512
+            # beat 1024 at every 7B decode shape that admits it (wqkv 87.4%
+            # vs 81.2% of the weight-read SOL, w13 88.7% vs 85.4%;
+            # examples/decode_tile_tune.py)
+            bk = bk or _pick_tile(_round_up(K, 128), 512)
             if bn is None:
                 Nr = _round_up(N, 128)
                 bn = Nr

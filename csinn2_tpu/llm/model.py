@@ -624,8 +624,21 @@ def llama_forward(params, tokens, cache: KVCache, pos, cfg: LlamaConfig,
         x = x + attn_out.astype(x.dtype)
         h = rms_norm(x, lp["ffn_norm"], cfg.norm_eps)
         if "gate" in lp:
-            ffn_out = moe_ffn_block(h.astype(jnp.bfloat16), lp, cfg,
-                                    use_pallas, ep_axis, tp_axis)
+            # T is static under jit, so the dense/routed choice is made at
+            # trace time from the MEASURED crossover (v5e, E=8/top-2, 7B-
+            # class experts, examples/moe_dispatch_probe.py): at T<=128 both
+            # run at the expert-weight-read floor (~540 MB -> ~750 us,
+            # routed/dense = 1.00-1.01x), at T=512 routed wins 0.66x — so
+            # dense no-drop (exact, zero dispatch overhead) below 256
+            # tokens, routed dispatch above.  EP-sharded runs stay dense
+            # (the routed dispatch einsums are single-device).
+            T = int(tokens.shape[0]) * int(tokens.shape[1])
+            if T >= 256 and ep_axis is None and tp_axis is None:
+                ffn_out = moe_ffn_block_routed(h.astype(jnp.bfloat16), lp,
+                                               cfg, use_pallas)
+            else:
+                ffn_out = moe_ffn_block(h.astype(jnp.bfloat16), lp, cfg,
+                                        use_pallas, ep_axis, tp_axis)
         else:
             ffn_out = ffn_block(h.astype(jnp.bfloat16), lp, use_pallas, tp_axis)
         x = x + ffn_out.astype(x.dtype)

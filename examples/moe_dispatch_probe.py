@@ -24,23 +24,26 @@ from csinn2_tpu.llm.model import (FLOAT, init_params, moe_ffn_block,
                                   moe_ffn_block_routed)
 
 
-def device_time(fn, args, iters=192, reps=4):
+def device_time(fn, args, consts=None, iters=192, reps=4):
     # iters must push the marginal past the tunnel's ~0.5-1 ms RPC jitter
-    # (at 16 iters a 50 us kernel is an unmeasurable 0.8 ms marginal)
+    # (at 16 iters a 50 us kernel is an unmeasurable 0.8 ms marginal).
+    # `consts` (a pytree of weights) is threaded through as a jit ARGUMENT:
+    # closing over 540 MB of expert weights captures them as lowering
+    # constants that get shipped to the (remote) compiler — HTTP 413.
     staged = [jax.device_put(jnp.stack([a, a])) for a in args]
     staged = jax.block_until_ready(staged)
 
     @jax.jit
-    def jfn(n, *st):
+    def jfn(n, consts, *st):
         def body(i, acc):
             ins = [jax.lax.dynamic_index_in_dim(s, i % 2, 0, keepdims=False)
                    for s in st]
-            return acc + jnp.sum(fn(*ins).astype(jnp.float32))
+            return acc + jnp.sum(fn(*ins, consts).astype(jnp.float32))
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
     def fetch(n):
         t0 = time.perf_counter()
-        np.asarray(jfn(jnp.int32(n), *staged))
+        np.asarray(jfn(jnp.int32(n), consts, *staged))
         return time.perf_counter() - t0
 
     fetch(2); fetch(2 + iters)
@@ -63,9 +66,10 @@ def main():
           flush=True)
     for T in (8, 32, 128, 512):
         x = jnp.asarray(rng.standard_normal((1, T, cfg.dim)), jnp.bfloat16)
-        td = device_time(lambda a: moe_ffn_block(a, lp, cfg), [x])
-        tr = device_time(lambda a: moe_ffn_block_routed(
-            a, lp, cfg, capacity_factor=2.0), [x])
+        td = device_time(lambda a, _lp: moe_ffn_block(a, _lp, cfg), [x],
+                         consts=lp)
+        tr = device_time(lambda a, _lp: moe_ffn_block_routed(
+            a, _lp, cfg, capacity_factor=2.0), [x], consts=lp)
         win = "routed" if tr < td else "dense"
         print(f"T={T:4d}: dense {td*1e6:9.1f} us   routed {tr*1e6:9.1f} us "
               f"  routed/dense = {tr/td:5.2f}x  -> {win}", flush=True)
