@@ -2,6 +2,7 @@
 python/shl/main.py:22-63) — extended with environment/op-registry info.
 
 Usage: python -m csinn2_tpu [--whereis] [--ops] [--backend]
+       python -m csinn2_tpu convert <gguf-or-hf-dir> <out_dir> [--mode q8_0]
 """
 
 import argparse
@@ -10,6 +11,10 @@ import sys
 
 
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "convert":
+        # checkpoint converter subcommand (ref: tests/llm/convert/shl-convert.py)
+        from csinn2_tpu.llm.convert import main as convert_main
+        return convert_main(sys.argv[2:])
     ap = argparse.ArgumentParser(prog="csinn2_tpu")
     ap.add_argument("--whereis", action="store_true", help="print install path")
     ap.add_argument("--ops", action="store_true", help="list registered ops")

@@ -83,8 +83,18 @@ def from_minmax(minv: ArrayLike, maxv: ArrayLike, dtype: Dtype,
     qmin, qmax = dtype.qmin, dtype.qmax
     if symmetric:
         amax = np.maximum(np.abs(minv), np.abs(maxv))
-        scale = np.where(amax == 0, 1.0, amax / qmax)  # symmetric uses ±qmax (127 for int8)
-        zp = np.zeros_like(scale, dtype=np.int32)
+        # symmetric uses ±half-range: int8 → ±127 about zp=0; unsigned dtypes
+        # (u8) center on the midpoint code instead (zp=128, ±127) — "u8 with
+        # zp fixed at 128", the standard symmetric-weight form for u8 storage
+        # (kills the asymmetric-weight window-sum correction in the int
+        # kernels, cf. kernels/qconv.py)
+        if qmin == 0:
+            mid = (qmax + 1) // 2
+            scale = np.where(amax == 0, 1.0, amax / (qmax - mid))
+            zp = np.full_like(scale, mid, dtype=np.int32)
+        else:
+            scale = np.where(amax == 0, 1.0, amax / qmax)
+            zp = np.zeros_like(scale, dtype=np.int32)
     else:
         scale = np.where(maxv - minv == 0, 1.0, (maxv - minv) / (qmax - qmin))
         zp = np.clip(np.round(qmin - minv / scale), qmin, qmax).astype(np.int32)

@@ -126,31 +126,38 @@ def _conv2d_quant(arrays, metas, params, out_qinfo, w_layout=Layout.OIHW):
         # (ref: the int16 GEMM core, source/c908_opt/gemm_int16_ncxhwx.S —
         # same int32 accumulator, same >=2^31 saturation caveat at huge K)
         zp_i = int(round(zp))
-        if zp_i != 0 or u8:
-            # zp-pad so border windows see (zp - zp)·w = 0 like interior ones
-            pads = [(0, 0)] * 4
-            haxis = 1 if params.layout == Layout.NHWC else 2
-            pads[haxis] = (pt, pd)
-            pads[haxis + 1] = (pl_, pr)
-            x = jnp.pad(x, pads, constant_values=np.asarray(zp_i, x.dtype))
-            padding = ((0, 0), (0, 0))
-        else:
-            padding = ((pt, pd), (pl_, pr))
+        padding = ((pt, pd), (pl_, pr))
         acc = lax.conv_general_dilated(
             x, wv, window_strides=params.stride, padding=padding,
             rhs_dilation=params.dilation, dimension_numbers=dn,
             feature_group_count=params.group,
             preferred_element_type=jnp.int32)
+
+        def _convg(img, wgt, groups):
+            # helper conv with the layer's exact geometry
+            return lax.conv_general_dilated(
+                img, wgt, window_strides=params.stride, padding=padding,
+                rhs_dilation=params.dilation, dimension_numbers=dn,
+                feature_group_count=groups, preferred_element_type=jnp.int32)
+
         if zp_i != 0:
-            # Σw per out-channel: sum all but the O axis of wv
-            o_axis = dn[1].index("O")
-            wsum = jnp.sum(wv.astype(jnp.int32),
-                           axis=tuple(a for a in range(4) if a != o_axis))
-            acc = acc - zp_i * jnp.reshape(wsum, shape)
+            # Exact activation-zp correction with ZERO padding and no
+            # activation copy: y = Σ_valid(x-zx)·w = conv0(x,w) - zx·M where
+            # M[o,p] = Σ_{taps of window p inside the input} w[o,t] is a
+            # batch-1 ones-IMAGE conv (interior windows see the full Σw, the
+            # border ring sees the truncated sum — both exact).  Replaces the
+            # r3 zp-pad (a full HBM copy of x per conv) + per-run Σw (a full
+            # re-read of w); cost is 1/N of the main conv.  (ref: the AOT
+            # bias fold fuse_zp_to_bias, tests/validation_layer/testutil.h —
+            # this is its conv-shaped generalization.)
+            ones_img = jnp.ones((1,) + x.shape[1:], jnp.int8)
+            sumw_map = _convg(ones_img, wv, params.group)   # [1,O,H',W']/NHWC
+            acc = acc - zp_i * sumw_map
         if u8 and np.any(zw_vec != 0):
-            # window sums S[n,g,h,w] = Σ_{i∈group,kh,kw} (x - zx'): an integer
-            # ones-kernel conv over the same zp-padded input (so the border
-            # windows are exact too), minus zx'·window_size
+            # General asymmetric-weight path (arbitrary zw): needs per-window
+            # activation sums S[p] = Σ_valid (x - zx') — one ones-KERNEL conv
+            # over x (zero-padded; full-batch, unavoidable for true asym
+            # weights) minus zx'·(valid-tap count map, batch-1).
             g = params.group
             o_axis = dn[1].index("O")
             i_axis = dn[1].index("I")
@@ -162,12 +169,10 @@ def _conv2d_quant(arrays, metas, params, out_qinfo, w_layout=Layout.OIHW):
             rest = [a for a in range(4) if a not in (o_axis, i_axis)]
             ones_shape[rest[0]], ones_shape[rest[1]] = kh_kw
             ones_w = jnp.ones(ones_shape, jnp.int8)
-            s0 = lax.conv_general_dilated(
-                x, ones_w, window_strides=params.stride, padding=padding,
-                rhs_dilation=params.dilation, dimension_numbers=dn,
-                feature_group_count=g, preferred_element_type=jnp.int32)
-            cnt = ig * kh_kw[0] * kh_kw[1]
-            winsum = s0 - zp_i * cnt                       # [N, g, H', W']
+            s0 = _convg(x, ones_w, g)                      # [N, g, H', W']
+            ones_img = jnp.ones((1,) + x.shape[1:], jnp.int8)
+            cnt_map = _convg(ones_img, ones_w, g)          # [1, g, H', W']
+            winsum = s0 - zp_i * cnt_map                   # [N, g, H', W']
             O = wv.shape[o_axis]
             if g != O:
                 winsum = jnp.repeat(winsum, O // g, axis=caxis)

@@ -294,11 +294,19 @@ def quant_matmul(x, w_q, scales=None, bias=None, *, scale_mode: str = "channel",
             # examples/decode_tile_tune.py)
             bk = bk or _pick_tile(_round_up(K, 128), 512)
             if bn is None:
-                Nr = _round_up(N, 128)
+                Nr, Kr = _round_up(N, 128), _round_up(K, 128)
                 bn = Nr
                 wbytes = 0.5 if packed_int4 else 1.0
-                while bn * bk * wbytes > 6 * 2**20 and bn > 512:
-                    bn = _pick_tile(Nr, bn // 2)   # keep bn | Nr (no pad)
+                while bn * bk * wbytes > 6 * 2**20 and (bn > 512 or bk > 128):
+                    cand = _pick_tile(Nr, bn // 2) if bn > 512 else 128
+                    if bn > 512 and (cand >= 512 or bk <= 128):
+                        bn = cand                  # keep bn | Nr (no pad)
+                    else:
+                        # sparse divisor structure (e.g. Nr = 128·prime):
+                        # halving bn would cliff to a narrow tile (~half HBM
+                        # bandwidth measured, see comment above) — shrink bk
+                        # instead and keep the row-burst-friendly wide bn
+                        bk = _pick_tile(Kr, bk // 2)
         else:
             # prefill/FC shapes: WIDE-N divisor-aware tiles.  Measured on v5e
             # at the 7B prefill shapes (M=128, examples/prefill_tile_tune.py):
@@ -315,7 +323,13 @@ def quant_matmul(x, w_q, scales=None, bias=None, *, scale_mode: str = "channel",
             if bn is None:
                 bn = _pick_tile(Nr, 5504)
             if bk is None:
-                bk = _pick_tile(Kr, max(256, (3 * 2**20) // bn))
+                # cap bk so the x-tile double buffer (bm·bk·2B·2) + w tile +
+                # acc fit the 15.5 MiB VMEM budget even at small bn (where
+                # the 3 MiB//bn target alone could blow past it and the
+                # bn-shrink guard below never fires)
+                bk_cap = int((15.5 * 2**20 - bm * bn * 12)
+                             // max(2 * bn * wbytes + 4 * bm, 1))
+                bk = _pick_tile(Kr, max(256, min((3 * 2**20) // bn, bk_cap)))
             while bn_auto and bn > 512 and (
                     bn * bk * wbytes * 2 + bm * bk * 2 * 2
                     + bm * bn * 4 * 3) > 15.5 * 2**20:

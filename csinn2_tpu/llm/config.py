@@ -20,6 +20,11 @@ class LlamaConfig:
     head_dim: int = 0   # 0 → dim // n_heads; stays fixed under TP localization
     n_experts: int = 0       # 0 → dense FFN; >0 → MoE (net-new vs reference)
     moe_top_k: int = 2       # experts routed per token
+    # "auto": measured crossover (dense below 256 tokens, routed above);
+    # "dense": always the exact no-drop formulation; "routed": always
+    # capacity-based dispatch (renormalized over kept experts)
+    moe_dispatch: str = "auto"
+    moe_capacity_factor: float = 2.0   # routed-dispatch capacity multiplier
 
     def __post_init__(self):
         if self.head_dim == 0:

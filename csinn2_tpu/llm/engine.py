@@ -287,6 +287,7 @@ class InferenceEngine:
 
         self._prefill_fn = _prefill
         self._prefill_local_fn = _prefill_local    # for benchmark_prefill_device
+        self._decode_local_fn = _decode_local      # for benchmark_decode_device
         self._decode_fn = _decode
         self._decode_scan_fn = _decode_scan
 
@@ -551,29 +552,68 @@ class InferenceEngine:
     def benchmark_decode_device(self, iters: int = 64, reps: int = 3,
                                 pos0: int = 16):
         """TRUE decode tokens/s for the full batch: the whole token loop runs
-        on-device (_decode_scan = lax.scan, one executable) and completion is
-        forced by fetching the tokens.  Reported as marginal cost between a
-        long and a short scan so compile, dispatch and transfer cancel out —
-        host timing loops only measure RPC rate on async/tunneled runtimes."""
+        on-device and completion is forced by fetching a scalar.  Reported as
+        marginal cost between a long and a short loop so compile, dispatch
+        and transfer cancel out — host timing loops only measure RPC rate on
+        async/tunneled runtimes.
+
+        Single-chip path: the loop count is a TRACED fori_loop bound so ONE
+        compile serves both lengths (the loop wrapper compiles far slower
+        than the bare step on the remote-compile runtime).  Mesh path keeps
+        the static-length _decode_scan executable."""
         key = jax.random.PRNGKey(0)
-
-        def run(n):
-            cache = KVCache(k=self.cache.k, v=self.cache.v,
-                            scale=self.cache.scale)
-            toks = jnp.ones((self.batch,), jnp.int32)
-            pos = jnp.full((self.batch,), pos0, jnp.int32)
-            t0 = time.perf_counter()
-            out, cache = self._decode_scan_fn(
-                self.params, cache, toks, pos, key,
-                n_steps=n, greedy=True, temperature=jnp.float32(1.0),
-                kv_bound=_round256(pos0 + n + 1, self.cfg.max_seq_len))
-            np.asarray(out)
-            # the donated self.cache buffer was consumed; adopt the result
-            self.cache = cache
-            return time.perf_counter() - t0
-
         base = max(iters // 16, 2)
-        run(base); run(base + iters)          # compile both
+
+        if self.mesh is None:
+            decode_local = self._decode_local_fn
+            scale = self.cache.scale
+            kv_bound = _round256(pos0 + base + iters + 1,
+                                 self.cfg.max_seq_len)
+
+            @jax.jit
+            def looped(n, params, k, v):
+                toks = jnp.ones((self.batch,), jnp.int32)
+                pos = jnp.full((self.batch,), pos0, jnp.int32)
+
+                def body(i, carry):
+                    k, v, tok, pos, acc = carry
+                    cache = KVCache(k=k, v=v, scale=scale)
+                    logits, cache = decode_local(params, cache, tok[:, None],
+                                                 pos, kv_bound)
+                    nxt = jnp.argmax(logits[:, 0].astype(jnp.float32),
+                                     axis=-1).astype(jnp.int32)
+                    return (cache.k, cache.v, nxt, pos + 1,
+                            acc + logits[0, 0, 0].astype(jnp.float32))
+
+                _, _, _, _, acc = jax.lax.fori_loop(
+                    0, n, body, (k, v, toks, pos, jnp.float32(0.0)))
+                return acc
+
+            def run(n):
+                t0 = time.perf_counter()
+                float(np.asarray(looped(jnp.int32(n), self.params,
+                                        self.cache.k, self.cache.v)))
+                return time.perf_counter() - t0
+
+            run(base)                         # one compile, both lengths
+        else:
+            def run(n):
+                cache = KVCache(k=self.cache.k, v=self.cache.v,
+                                scale=self.cache.scale)
+                toks = jnp.ones((self.batch,), jnp.int32)
+                pos = jnp.full((self.batch,), pos0, jnp.int32)
+                t0 = time.perf_counter()
+                out, cache = self._decode_scan_fn(
+                    self.params, cache, toks, pos, key,
+                    n_steps=n, greedy=True, temperature=jnp.float32(1.0),
+                    kv_bound=_round256(pos0 + base + iters + 1,
+                                       self.cfg.max_seq_len))
+                np.asarray(out)
+                # the donated self.cache buffer was consumed; adopt the result
+                self.cache = cache
+                return time.perf_counter() - t0
+
+            run(base); run(base + iters)      # compile both
         t_s = min(run(base) for _ in range(reps))
         t_l = min(run(base + iters) for _ in range(reps))
         return self.batch * iters / max(t_l - t_s, 1e-12)
@@ -619,11 +659,16 @@ def _batched_decode_forward(params, tokens, cache, pos_vec, cfg, use_pallas,
         # ~1.3 ms of the 15.8 ms step (examples/llm_profile.py).  A scatter
         # at unique (row, pos) indices updates b·hk·dh bytes in place under
         # the donated scan carry.
+        # mode="drop" (explicit): a lane whose pos_vec >= S skips its KV
+        # write — overflow/inactive lanes must not clobber row S-1 (the
+        # clamp-to-last-row semantics of the r2 dynamic_update_slice form)
         bidx = jnp.arange(k_new.shape[0])
         k = cache.k.at[layer, bidx, pos_vec].set(k_new[:, 0],
-                                                 unique_indices=True)
+                                                 unique_indices=True,
+                                                 mode="drop")
         v = cache.v.at[layer, bidx, pos_vec].set(v_new[:, 0],
-                                                 unique_indices=True)
+                                                 unique_indices=True,
+                                                 mode="drop")
         return KVCache(k=k, v=v, scale=cache.scale)
 
     hq, hk, dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim

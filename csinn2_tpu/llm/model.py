@@ -583,10 +583,18 @@ def moe_ffn_block_routed(x, layer_params, cfg: LlamaConfig, use_pallas=None,
     keep = (r < cap).astype(jnp.float32)
 
     oh_cap = jax.nn.one_hot(r, cap, dtype=jnp.float32) * keep[..., None]
-    # dispatch[t,e,c] ∈ {0,1}; combine[t,e,c] = router weight
+    # Renormalize router weights over the KEPT choices so a dropped expert's
+    # mass is redistributed to the token's surviving experts (without this, a
+    # capacity-dropped assignment silently scales the token's FFN output
+    # down — at capacity_factor < E/k that diverges from the exact dense
+    # path; with renormalization the kept mixture stays a convex combination)
+    kept_w = topw * keep                                    # [T, k]
+    denom = jnp.sum(kept_w, axis=-1, keepdims=True)
+    kept_w = jnp.where(denom > 0, kept_w / jnp.maximum(denom, 1e-9), 0.0)
+    # dispatch[t,e,c] ∈ {0,1}; combine[t,e,c] = renormalized router weight
     disp = jnp.einsum("tke,tkc->tec", oh.astype(jnp.float32), oh_cap)
     comb = jnp.einsum("tke,tkc->tec", oh.astype(jnp.float32),
-                      oh_cap * topw[..., None])
+                      oh_cap * kept_w[..., None])
 
     xin = jnp.einsum("tec,td->ecd", disp, xt.astype(jnp.float32)) \
         .astype(jnp.bfloat16)                               # [E, cap, D]
@@ -633,9 +641,12 @@ def llama_forward(params, tokens, cache: KVCache, pos, cfg: LlamaConfig,
             # tokens, routed dispatch above.  EP-sharded runs stay dense
             # (the routed dispatch einsums are single-device).
             T = int(tokens.shape[0]) * int(tokens.shape[1])
-            if T >= 256 and ep_axis is None and tp_axis is None:
-                ffn_out = moe_ffn_block_routed(h.astype(jnp.bfloat16), lp,
-                                               cfg, use_pallas)
+            routed = (cfg.moe_dispatch == "routed"
+                      or (cfg.moe_dispatch == "auto" and T >= 256))
+            if routed and ep_axis is None and tp_axis is None:
+                ffn_out = moe_ffn_block_routed(
+                    h.astype(jnp.bfloat16), lp, cfg, use_pallas,
+                    capacity_factor=cfg.moe_capacity_factor)
             else:
                 ffn_out = moe_ffn_block(h.astype(jnp.bfloat16), lp, cfg,
                                         use_pallas, ep_axis, tp_axis)

@@ -87,11 +87,12 @@ class NetBuilder:
                        qinfo=qi)
         else:
             wdt = self.scheme.weight_dtype
-            # symmetric per-channel for signed weight dtypes; unsigned dtypes
-            # (u8 schemes) must quantize weights asymmetrically — a symmetric
-            # [0,255] mapping would clip every negative weight
-            sym = wdt.qmin < 0
-            qi = observe_qi(np.asarray(arr), wdt, symmetric=sym, axis=per_channel_axis)
+            # symmetric per-channel always: signed dtypes about zp=0, unsigned
+            # (u8) about the midpoint code zp=128 (core/quant.from_minmax) —
+            # symmetric weights let the int conv kernels skip the asymmetric-
+            # weight window-sum correction entirely (kernels/qconv.py), the
+            # same reason the reference's production schemes are W_SYM
+            qi = observe_qi(np.asarray(arr), wdt, symmetric=True, axis=per_channel_axis)
             qi.scheme = self.scheme
             t = from_float(arr, qi)
         self._wcache[name] = t

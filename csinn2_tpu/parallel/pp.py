@@ -147,9 +147,13 @@ class SPMDPipelinedLlama:
     mesh axis (stage s owns layers [s·Lp, (s+1)·Lp)); the embedding table
     and lm head run replicated outside the pipelined region (they are <2%
     of FLOPs).  Net-new vs the reference, which is single-core sequential
-    (SURVEY.md §2 parallelism note); composes with the TP specs in
-    parallel/tp.py by giving shard_map a 2-D ('pp','tp') mesh — this class
-    keeps a 1-D mesh for clarity.
+    (SURVEY.md §2 parallelism note).
+
+    PP×TP composition: give the constructor a 2-D ('pp','tp') mesh and each
+    stage's layer weights additionally shard per the Megatron specs in
+    parallel/tp.py (wq/wk/wv/w1/w3 column-, wo/w2 row-sharded; KV cache by
+    head) — inside every tick the attention/FFN sublayers psum over 'tp'
+    exactly as in tp_llama_forward, while activations ride the 'pp' ring.
     """
 
     def __init__(self, params, cfg: LlamaConfig, mesh: Optional[Mesh] = None,
@@ -160,6 +164,7 @@ class SPMDPipelinedLlama:
             mesh = Mesh(jax.devices()[:n_stages], ("pp",))
         self.mesh = mesh
         self.P = mesh.shape["pp"]
+        self.tp = int(mesh.shape["tp"]) if "tp" in mesh.axis_names else 1
         assert cfg.n_layers % self.P == 0
         self.Lp = cfg.n_layers // self.P
         self.cfg = cfg
@@ -171,22 +176,43 @@ class SPMDPipelinedLlama:
         keys = {frozenset(lp.keys()) for lp in params["layers"]}
         assert len(keys) == 1, "pipeline stages need uniform layer structure"
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params["layers"])
-        lsharding = NamedSharding(mesh, P("pp"))
         rsharding = NamedSharding(mesh, P())
-        self.layers = jax.device_put(stacked, lsharding)
+        if self.tp == 1:
+            self._layer_specs = P("pp")
+            self.layers = jax.device_put(stacked,
+                                         NamedSharding(mesh, P("pp")))
+        else:
+            # per-weight TP specs with the stacked layer axis prepended:
+            # [L, K, N] → P('pp', <tp spec for [K, N]>)
+            from csinn2_tpu.parallel.tp import param_specs
+            lspec0 = param_specs(params)["layers"][0]
+            self._layer_specs = jax.tree.map(
+                lambda s: P("pp", *tuple(s)), lspec0)
+            self.layers = jax.tree.map(
+                lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+                stacked, self._layer_specs)
         self.embed = jax.device_put(params["tok_embedding"], rsharding)
         self.norm = jax.device_put(params["norm"], rsharding)
         self.output = jax.device_put(params["output"], rsharding)
         self._fn = None
         self._fn_scale = None
 
+    def _cache_pspec(self):
+        # [Lp, B, S, hk, dh]: layers over 'pp', heads over 'tp' (if present)
+        return P("pp", None, None, "tp", None) if self.tp > 1 else P("pp")
+
     def init_cache(self, batch: int, quantized: bool = False) -> KVCache:
         cache = KVCache.create(self.cfg, batch, quantized)
-        return jax.device_put(cache, NamedSharding(self.mesh, P("pp")))
+        return jax.device_put(cache,
+                              NamedSharding(self.mesh, self._cache_pspec()))
 
     def _pipeline_fn(self, kv_scale):
         cfg, Pn, Lp, M = self.cfg, self.P, self.Lp, self.M
         use_pallas = self.use_pallas
+        tp_axis = "tp" if self.tp > 1 else None
+        if self.tp > 1:
+            from csinn2_tpu.parallel.tp import local_config
+            cfg = local_config(cfg, self.tp)     # per-device head/ffn counts
 
         def body(layers_loc, x_mb, cache_k, cache_v, pos):
             # x_mb [M, mb, s, D] replicated; cache_[kv] local [Lp, B, S, hk, dh]
@@ -203,14 +229,16 @@ class SPMDPipelinedLlama:
                     lp = jax.tree.map(lambda a: a[i], layers_loc)
                     h = rms_norm(y, lp["attn_norm"], cfg.norm_eps)
                     attn, sub = attention_block(h.astype(jnp.bfloat16), lp,
-                                                sub, i, pos, cfg, use_pallas)
+                                                sub, i, pos, cfg, use_pallas,
+                                                tp_axis=tp_axis)
                     y = y + attn.astype(y.dtype)
                     h = rms_norm(y, lp["ffn_norm"], cfg.norm_eps)
                     if "gate" in lp:
                         f = moe_ffn_block(h.astype(jnp.bfloat16), lp, cfg,
-                                          use_pallas)
+                                          use_pallas, tp_axis=tp_axis)
                     else:
-                        f = ffn_block(h.astype(jnp.bfloat16), lp, use_pallas)
+                        f = ffn_block(h.astype(jnp.bfloat16), lp, use_pallas,
+                                      tp_axis=tp_axis)
                     y = y + f.astype(y.dtype)
                 return y, sub
 
@@ -252,12 +280,12 @@ class SPMDPipelinedLlama:
             out = lax.psum(jnp.where(sidx == Pn - 1, out_buf, 0.0), "pp")
             return out, ck, cv
 
-        pspec = P("pp")
+        cspec = self._cache_pspec()
         from jax.experimental.shard_map import shard_map
         fn = shard_map(
             body, mesh=self.mesh,
-            in_specs=(pspec, P(), pspec, pspec, P()),
-            out_specs=(P(), pspec, pspec),
+            in_specs=(self._layer_specs, P(), cspec, cspec, P()),
+            out_specs=(P(), cspec, cspec),
             check_rep=False)
         return jax.jit(fn)
 

@@ -213,16 +213,20 @@ class Session:
                 return acc + upd
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-        jfn = jax.jit(looped, static_argnums=0)
+        # n is a TRACED argument: one compile serves both loop lengths.  The
+        # fori_loop wrapper compiles 50-100x slower than the bare graph on
+        # the remote-compile runtime (measured: MobileNetV1-f32 bs128 4.8 s
+        # bare vs ~247 s per loop variant), so a static n would double a
+        # multi-minute compile for nothing.
+        jfn = jax.jit(looped)
         base = max(iters // 16, 1)
 
         def fetch(n):
             t0 = time.perf_counter()
-            float(np.asarray(jfn(n, consts, *arrays)))
+            float(np.asarray(jfn(jnp.int32(n), consts, *arrays)))
             return time.perf_counter() - t0
 
-        fetch(base)            # compile short
-        fetch(base + iters)    # compile long
+        fetch(base)            # compile (shared by both lengths)
         t_short = min(fetch(base) for _ in range(reps))
         t_long = min(fetch(base + iters) for _ in range(reps))
         return max(t_long - t_short, 1e-12) / iters

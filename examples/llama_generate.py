@@ -3,7 +3,14 @@
 Llama, quantize weights, generate tokens, report decode tokens/s and the
 quantized-vs-float logit cosine.
 
+With --ckpt, loads a REAL converted model dir instead (produced by
+`python -m csinn2_tpu.llm.convert <gguf-or-hf> <dir>`) and generates from
+--prompt text through the bundled tokenizer — the full real-weights path the
+reference exercises in tests/llm/llama2.c.
+
 Usage:  python examples/llama_generate.py [--mode q8_0] [--layers 2] [--dim 256]
+        python examples/llama_generate.py --ckpt /path/to/model_dir \
+            --prompt "Once upon a time" --tokens 64
 """
 
 import argparse
@@ -29,10 +36,18 @@ def main():
     ap.add_argument("--heads", type=int, default=4)
     ap.add_argument("--tokens", type=int, default=16)
     ap.add_argument("--quant-kv", action="store_true")
+    ap.add_argument("--ckpt", default=None,
+                    help="converted model dir (llm/convert.py output); "
+                         "overrides the random-weight demo")
+    ap.add_argument("--prompt", default="Once upon a time")
+    ap.add_argument("--temperature", type=float, default=0.0)
     args = ap.parse_args()
 
     from csinn2_tpu.utils.platform import backend_summary, honor_env_platform
     honor_env_platform()
+
+    if args.ckpt:
+        return run_checkpoint(args)
     cfg = LlamaConfig(dim=args.dim, n_layers=args.layers, n_heads=args.heads,
                       n_kv_heads=args.heads, ffn_dim=args.dim * 4,
                       vocab_size=1024, max_seq_len=256)
@@ -74,6 +89,34 @@ def main():
         print("PASS" if ok else "FAIL")
         return 0 if ok else 1
     print("PASS")
+    return 0
+
+
+def run_checkpoint(args):
+    """Real-weights generation: CTBM model dir + bundled tokenizer."""
+    from csinn2_tpu.llm.json_io import load_llm
+    from csinn2_tpu.llm.tokenizer import load_tokenizer
+    from csinn2_tpu.utils.platform import backend_summary
+
+    t0 = time.perf_counter()
+    cfg, params = load_llm(args.ckpt)
+    tok = load_tokenizer(args.ckpt)
+    print(f"== {args.ckpt}: dim={cfg.dim} L={cfg.n_layers} "
+          f"V={cfg.vocab_size} on {backend_summary()} "
+          f"(load {time.perf_counter()-t0:.1f}s) ==")
+
+    eng = InferenceEngine(cfg, params, batch=1, quantized_kv=args.quant_kv)
+    ids = tok.encode(args.prompt, bos=True)
+    print(f"prompt → {len(ids)} tokens")
+
+    t0 = time.perf_counter()
+    out = eng.generate_fused(ids, max_new_tokens=args.tokens,
+                             temperature=args.temperature)
+    dt = time.perf_counter() - t0
+    print(tok.decode(list(ids) + [int(t) for t in out]))
+    print(f"[{args.tokens} tokens in {dt:.2f}s incl compile]")
+    tps = eng.benchmark_decode_device(iters=64)
+    print(f"decode throughput (device loop): {tps:.1f} tokens/s")
     return 0
 
 

@@ -22,11 +22,23 @@ import jax
 import jax.numpy as jnp
 
 from csinn2_tpu.core.dtypes import QuantScheme
-from csinn2_tpu.models.mobilenet import MobileNetV1
 
-BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+BATCH = 128
 HBM_GBPS = 819.0   # v5e HBM: 763 GiB/s = 819 GB/s
 INT8_TOPS = 394.0
+
+
+def build_model(name: str):
+    """v1|v2|v3|resnet50 → (model, default scheme)."""
+    from csinn2_tpu.models.mobilenet import (MobileNetV1, MobileNetV2,
+                                             MobileNetV3)
+    from csinn2_tpu.models.resnet import ResNet50
+    return {
+        "v1": (MobileNetV1, QuantScheme.INT8_SYM),
+        "v2": (MobileNetV2, QuantScheme.UINT8_ASYM),
+        "v3": (MobileNetV3, QuantScheme.INT8_SYM),
+        "resnet50": (ResNet50, QuantScheme.INT8_SYM),
+    }[name]
 
 
 def device_time(fn, args, iters=96, reps=4):
@@ -89,13 +101,27 @@ def node_bytes(node):
 
 
 def main():
-    print(f"# backend: {jax.default_backend()}", file=sys.stderr)
-    model = MobileNetV1(input_size=224)
+    import argparse
+    global BATCH
+    ap = argparse.ArgumentParser()
+    ap.add_argument("model", nargs="?", default="v1",
+                    choices=["v1", "v2", "v3", "resnet50"])
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--scheme", default=None,
+                    help="override quant scheme (e.g. int8_sym, uint8_asym)")
+    args = ap.parse_args()
+    BATCH = args.batch
+    cls, scheme = build_model(args.model)
+    if args.scheme:
+        scheme = QuantScheme(args.scheme)
+    print(f"# backend: {jax.default_backend()}  model={args.model} "
+          f"scheme={scheme.value} bs={BATCH}", file=sys.stderr)
+    model = cls(input_size=224)
     rng = np.random.default_rng(0)
     x1 = rng.random(model.input_shape(1)).astype(np.float32)
     xb = rng.random(model.input_shape(BATCH)).astype(np.float32)
     model.calibrate(x1)
-    sess = model.build_session(QuantScheme.INT8_SYM, batch=BATCH)
+    sess = model.build_session(scheme, batch=BATCH)
     xin = model.prepare_input(xb, sess)
     y = sess.run(xin)
     whole = device_time(lambda x: sess.graph.execute((x,), sess._consts)[0],
