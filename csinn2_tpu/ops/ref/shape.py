@@ -151,8 +151,12 @@ def ndarray_size(x, params=None):
 
 
 @registry.register("crop", api=Api.XLA)
-def crop(x, ref_shape, params: CropParams):
-    """Caffe-style crop from params.axis with offsets (ref: shl_ref_crop_f32)."""
+def crop(x, params: CropParams = None, ref_shape=None):
+    """Caffe-style crop from params.axis with offsets (ref: shl_ref_crop_f32).
+    (params precedes ref_shape: call_op passes params positionally and every
+    **extra kwarg by name — the old (x, ref_shape, params) order made every
+    dispatch through ops.crop a TypeError, caught by the registry-wide golden
+    sweep.)"""
     x = jnp.asarray(x)
     idx = []
     off_i = 0
@@ -234,7 +238,7 @@ def shuffle_channel(x, params: ShuffleChannelParams):
 
 
 @registry.register("im2col", api=Api.XLA)
-def im2col(x, params, kernel=(3, 3), stride=(1, 1), pad=(0, 0, 0, 0)):
+def im2col(x, params=None, kernel=(3, 3), stride=(1, 1), pad=(0, 0, 0, 0)):
     """NCHW im2col to [N, C*kh*kw, oh*ow] (ref: shl_ref_im2col_f32)."""
     kh, kw = kernel
     sh, sw = stride
