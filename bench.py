@@ -119,7 +119,9 @@ def _cnn_accuracy_gate(model, scheme, x1):
     golden = model.forward_f32(x1)
     s1 = model.build_session(scheme, batch=1)
     out = np.asarray(s1.run(model.prepare_input(x1, s1)), np.float32)
-    qi = model.recorder.qinfo("fc", scheme)
+    # the session's ACTUAL output qinfo (u8 schemes carry internal
+    # activations as shifted-s8 — models/common._out_qinfo)
+    qi = s1.graph.outputs[0].meta.qinfo or model.recorder.qinfo("fc", scheme)
     cs = cosine_similarity(np.asarray(dequantize(out, qi), np.float32), golden)
     _note(f"cosine vs f32: {cs:.5f}")
     assert cs >= 0.99, f"accuracy gate failed: {cs}"

@@ -17,6 +17,8 @@ floats (ref: the (op,dtype)-keyed callback table, source/nn2/setup.c:97-124).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 from jax import lax
@@ -70,6 +72,101 @@ def _static_zp_vec(qi):
         return None
 
 
+def precompute_sumw_map(w_np, x_shape, params, w_layout=Layout.OIHW):
+    """AOT per-position valid-window weight-sum map for the activation-zp
+    correction: map[o, p] = Σ_{taps of window p inside the input} w[o, t],
+    computed ONCE at graph build on the host from the const weight (the
+    conv-geometry generalization of the reference's fuse_zp_to_bias AOT
+    fold, tests/validation_layer/testutil.h).
+
+    Why AOT instead of the in-graph batch-1 ones-conv: a conv cannot fuse
+    into another conv's epilogue, so the in-graph map forced the int32
+    accumulator of the MAIN conv to materialize in HBM between two kernels
+    — at MobileNetV2 b1.expand that is a 617 MB int32 round-trip per run,
+    measured 741 µs vs 215 µs for the conv alone.  As a const input the
+    correction is one more operand of the fused elementwise epilogue.
+
+    Returns int32 [1, O, H', W'] (params.layout order).  NOTE: a later
+    update_const() of the weight does not refresh this map (same caveat as
+    any AOT fold)."""
+    w = np.asarray(w_np)
+    if w_layout == Layout.OHWI:
+        w = np.transpose(w, (0, 3, 1, 2))
+    # u8-stored weights correspond to shifted s8 carriers (see _conv2d_quant)
+    if w.dtype == np.uint8:
+        w = w.astype(np.int64) - 128
+    # Separable exact-integer form: an all-ones image makes the group
+    # structure irrelevant, so map[o,h',w'] = Σ_{di,dj} (Σ_i w[o,i,di,dj])
+    #   · inside_h[h',di] · inside_w[w',dj]
+    wsum_tap = w.astype(np.int64).sum(axis=1)              # [O, kh, kw]
+    O, kh, kw = wsum_tap.shape
+    if params.layout == Layout.NCHW:
+        H, W = x_shape[2], x_shape[3]
+    else:
+        H, W = x_shape[1], x_shape[2]
+    pt, pd, pl_, pr = params.pad
+    sh, sw = params.stride
+    dh, dw_ = params.dilation
+    oh = (H + pt + pd - ((kh - 1) * dh + 1)) // sh + 1
+    ow = (W + pl_ + pr - ((kw - 1) * dw_ + 1)) // sw + 1
+    hpos = np.arange(oh)[:, None] * sh + np.arange(kh)[None, :] * dh - pt
+    wpos = np.arange(ow)[:, None] * sw + np.arange(kw)[None, :] * dw_ - pl_
+    mh = ((hpos >= 0) & (hpos < H)).astype(np.int64)       # [oh, kh]
+    mw = ((wpos >= 0) & (wpos < W)).astype(np.int64)       # [ow, kw]
+    m = np.einsum("okl,hk,wl->ohw", wsum_tap, mh, mw)
+    m = m[None]                                            # [1, O, oh, ow]
+    if params.layout == Layout.NHWC:
+        m = np.transpose(m, (0, 2, 3, 1))
+    return m.astype(np.int32)
+
+
+def _dw_taps_int(x, wv, params, dn, padding):
+    """Depthwise conv (channel multiplier 1) as a kh·kw-tap integer
+    elementwise MAC: one strided slice of the zero-padded input per tap,
+    times that tap's per-channel weight, summed in int32.  Everything is
+    elementwise/slice, so XLA fuses it into a single VPU pass over x —
+    bypassing the slow grouped-conv lowering (see caller).  Returns the
+    int32 accumulator in the layer's activation layout, or None when the
+    geometry does not fit."""
+    if dn[0] == "NHWC":
+        h_ax, w_ax, c_ax = 1, 2, 3
+    else:
+        h_ax, w_ax, c_ax = 2, 3, 1
+    o_ax, i_ax = dn[1].index("O"), dn[1].index("I")
+    k_axes = [a for a in range(4) if a not in (o_ax, i_ax)]
+    kh, kw = wv.shape[k_axes[0]], wv.shape[k_axes[1]]
+    sh, sw = params.stride
+    (pt, pd), (pl_, pr) = padding
+    H, W = x.shape[h_ax], x.shape[w_ax]
+    oh = (H + pt + pd - kh) // sh + 1
+    ow = (W + pl_ + pr - kw) // sw + 1
+
+    pads = [(0, 0)] * 4
+    pads[h_ax] = (pt, pd)
+    pads[w_ax] = (pl_, pr)
+    xpad = jnp.pad(x, pads)                      # zero pad (zp map corrects)
+
+    # per-channel tap weights broadcast along the activation channel axis
+    wtaps = jnp.transpose(wv, (o_ax, i_ax) + tuple(k_axes))[:, 0]  # [C,kh,kw]
+    bshape = [1] * 4
+    bshape[c_ax] = -1
+
+    acc = jnp.zeros([x.shape[0] if a == 0 else
+                     (oh if a == h_ax else (ow if a == w_ax else x.shape[c_ax]))
+                     for a in range(4)], jnp.int32)
+    for di in range(kh):
+        for dj in range(kw):
+            start = [0] * 4
+            limit = list(xpad.shape)
+            strides = [1] * 4
+            start[h_ax], limit[h_ax], strides[h_ax] = di, di + (oh - 1) * sh + 1, sh
+            start[w_ax], limit[w_ax], strides[w_ax] = dj, dj + (ow - 1) * sw + 1, sw
+            sl = lax.slice(xpad, start, limit, strides)
+            acc = acc + sl.astype(jnp.int32) * \
+                jnp.reshape(wtaps[:, di, dj].astype(jnp.int32), bshape)
+    return acc
+
+
 def _conv2d_quant(arrays, metas, params, out_qinfo, w_layout=Layout.OIHW):
     """x int carrier, w int carrier (per-channel sym), optional f32 bias.
 
@@ -82,6 +179,13 @@ def _conv2d_quant(arrays, metas, params, out_qinfo, w_layout=Layout.OIHW):
     tests/validation_layer/testutil.h).  int16 carriers (INT16_SYM) run
     s16×s16→s32 through the same integer path — exact where the f32-carrier
     fallback is not (s16 products exceed the 24-bit f32 mantissa)."""
+    smap = None
+    if len(arrays) > 2 and getattr(metas[-1], "name", "") == "__zp_sumw_map__":
+        # AOT-precomputed valid-window weight-sum map (precompute_sumw_map,
+        # appended by the op API when x has a static nonzero zp): a const
+        # epilogue operand instead of an in-graph ones-conv
+        smap = arrays[-1]
+        arrays = arrays[:-1]
     x = arrays[0]
     w = arrays[1]
     bias = arrays[2] if len(arrays) > 2 else None
@@ -117,6 +221,13 @@ def _conv2d_quant(arrays, metas, params, out_qinfo, w_layout=Layout.OIHW):
         wv = (wv.astype(jnp.int16) - 128).astype(jnp.int8)
         zp = zp - 128.0
         zw_vec = np.asarray(w_zp, np.int64) - 128          # [O] or scalar
+    elif (x.dtype == jnp.uint8 and wv.dtype == jnp.int8 and zp is not None):
+        # -- u8 graph edge → s8 interior: only the INPUT tensor is u8 (the
+        # model builder quantizes weights and internal activations straight
+        # to s8, models/common.py); shift x once — this is the single
+        # extra HBM pass the u8 edge costs, paid only on the network input
+        x = (x.astype(jnp.int16) - 128).astype(jnp.int8)
+        zp = zp - 128.0
     same_int = (x.dtype == wv.dtype and x.dtype in (jnp.int8, jnp.int16))
     if same_int and zp is not None:
         # -- integer path: s8×s8→s32 on the MXU int pipe; s16×s16→s32 lowers
@@ -127,11 +238,28 @@ def _conv2d_quant(arrays, metas, params, out_qinfo, w_layout=Layout.OIHW):
         # same int32 accumulator, same >=2^31 saturation caveat at huge K)
         zp_i = int(round(zp))
         padding = ((pt, pd), (pl_, pr))
-        acc = lax.conv_general_dilated(
-            x, wv, window_strides=params.stride, padding=padding,
-            rhs_dilation=params.dilation, dimension_numbers=dn,
-            feature_group_count=params.group,
-            preferred_element_type=jnp.int32)
+        acc = None
+        o_ax = dn[1].index("O")
+        dw_mult1 = (params.group > 1 and wv.shape[dn[1].index("I")] == 1
+                    and wv.shape[o_ax] == params.group
+                    and params.dilation == (1, 1)
+                    and max(wv.shape[a] for a in range(4)
+                            if a not in (o_ax, dn[1].index("I"))) <= 7
+                    and os.environ.get("CSINN2_DW_TAPS", "0") == "1")
+        if dw_mult1:
+            # MEASURED NEGATIVE (v5e, r4): XLA's grouped integer conv runs
+            # dw layers at 37-65% of HBM bandwidth (per-layer profile), and
+            # this k·k-tap elementwise MAC was built to fuse into one VPU
+            # pass — but XLA does NOT fuse the strided tap slices (MNv1
+            # 75→69% of SOL, bs1 latency 0.08→0.65 ms; MNv2 20.6k→19.8k
+            # img/s).  Kept opt-in (CSINN2_DW_TAPS=1) as the probe record.
+            acc = _dw_taps_int(x, wv, params, dn, padding)
+        if acc is None:
+            acc = lax.conv_general_dilated(
+                x, wv, window_strides=params.stride, padding=padding,
+                rhs_dilation=params.dilation, dimension_numbers=dn,
+                feature_group_count=params.group,
+                preferred_element_type=jnp.int32)
 
         def _convg(img, wgt, groups):
             # helper conv with the layer's exact geometry
@@ -143,16 +271,20 @@ def _conv2d_quant(arrays, metas, params, out_qinfo, w_layout=Layout.OIHW):
         if zp_i != 0:
             # Exact activation-zp correction with ZERO padding and no
             # activation copy: y = Σ_valid(x-zx)·w = conv0(x,w) - zx·M where
-            # M[o,p] = Σ_{taps of window p inside the input} w[o,t] is a
-            # batch-1 ones-IMAGE conv (interior windows see the full Σw, the
-            # border ring sees the truncated sum — both exact).  Replaces the
-            # r3 zp-pad (a full HBM copy of x per conv) + per-run Σw (a full
-            # re-read of w); cost is 1/N of the main conv.  (ref: the AOT
-            # bias fold fuse_zp_to_bias, tests/validation_layer/testutil.h —
-            # this is its conv-shaped generalization.)
-            ones_img = jnp.ones((1,) + x.shape[1:], jnp.int8)
-            sumw_map = _convg(ones_img, wv, params.group)   # [1,O,H',W']/NHWC
-            acc = acc - zp_i * sumw_map
+            # M[o,p] = Σ_{taps of window p inside the input} w[o,t]
+            # (interior windows see the full Σw, the border ring the
+            # truncated sum — both exact).  Preferred source: the AOT const
+            # map (smap) — a conv cannot fuse into another conv's epilogue,
+            # so the in-graph ones-conv fallback forces the int32
+            # accumulator through HBM (measured 741 vs 215 µs at MNv2
+            # b1.expand).  (ref: fuse_zp_to_bias AOT fold,
+            # tests/validation_layer/testutil.h.)
+            if smap is not None:
+                acc = acc - zp_i * smap
+            else:
+                ones_img = jnp.ones((1,) + x.shape[1:], jnp.int8)
+                sumw_map = _convg(ones_img, wv, params.group)
+                acc = acc - zp_i * sumw_map
         if u8 and np.any(zw_vec != 0):
             # General asymmetric-weight path (arbitrary zw): needs per-window
             # activation sums S[p] = Σ_valid (x - zx') — one ones-KERNEL conv
@@ -255,6 +387,10 @@ def _fc_quant(arrays, metas, params, out_qinfo):
         # shift both carriers by 128 into s8 — exact (see _conv2d_quant)
         x = (x.astype(jnp.int16) - 128).astype(jnp.int8)
         w = (w.astype(jnp.int16) - 128).astype(jnp.int8)
+        zp = zp - 128.0
+    elif x.dtype == jnp.uint8 and w.dtype == jnp.int8 and zp is not None:
+        # u8 graph edge → s8 interior (see _conv2d_quant)
+        x = (x.astype(jnp.int16) - 128).astype(jnp.int8)
         zp = zp - 128.0
     if (x.dtype == w.dtype and x.dtype in (jnp.int8, jnp.int16)
             and zp is not None):

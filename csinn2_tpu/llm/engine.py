@@ -703,14 +703,24 @@ def _batched_decode_forward(params, tokens, cache, pos_vec, cfg, use_pallas,
             # fixed cost vs the ~3 us KV-read floor at kv=256) REGRESSED the
             # whole decode step 76.7 -> 55.2 tok/s: XLA materializes its own
             # [b,hk,S,dh] transposes and schedules the matvec poorly.  The
-            # blocked flash kernel stays.
-            from csinn2_tpu.kernels.flash_attention import flash_attention
+            # r4 answer keeps the data flow in Pallas but single-pass: the
+            # decode_attention kernel holds a whole head-block's KV window in
+            # VMEM (grid b×ceil(hk/8) instead of b·hq tiny K-block steps).
+            # CSINN2_DECODE_ATTN=flash falls back to the blocked kernel.
+            import os
+            from csinn2_tpu.kernels.flash_attention import (decode_attention,
+                                                            flash_attention)
             q_t = jnp.transpose(q, (0, 2, 1, 3)).astype(jnp.bfloat16)
             k_t = jnp.transpose(k_all, (0, 2, 1, 3))      # [b, hk, S, dh]
             v_t = jnp.transpose(v_all, (0, 2, 1, 3))
-            attn = flash_attention(q_t, k_t, v_t, causal=True,
-                                   q_offset=pos_vec, kv_len=pos_vec + 1,
-                                   kv_scale=cache.scale)
+            if os.environ.get("CSINN2_DECODE_ATTN") == "flash":
+                attn = flash_attention(q_t, k_t, v_t, causal=True,
+                                       q_offset=pos_vec, kv_len=pos_vec + 1,
+                                       kv_scale=cache.scale)
+            else:
+                attn = decode_attention(q_t, k_t, v_t, q_offset=pos_vec,
+                                        kv_len=pos_vec + 1,
+                                        kv_scale=cache.scale)
             attn = jnp.transpose(attn, (0, 2, 1, 3))      # [b, 1, hq, dh]
         else:
             kf = k_all.astype(jnp.float32) * (cache.scale or 1.0)

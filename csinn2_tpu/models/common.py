@@ -87,11 +87,16 @@ class NetBuilder:
                        qinfo=qi)
         else:
             wdt = self.scheme.weight_dtype
-            # symmetric per-channel always: signed dtypes about zp=0, unsigned
-            # (u8) about the midpoint code zp=128 (core/quant.from_minmax) —
-            # symmetric weights let the int conv kernels skip the asymmetric-
-            # weight window-sum correction entirely (kernels/qconv.py), the
-            # same reason the reference's production schemes are W_SYM
+            # symmetric per-channel always — the asymmetric-weight window-sum
+            # correction in the int kernels then vanishes (kernels/qconv.py),
+            # the same reason the reference's production schemes are W_SYM.
+            # u8-storage schemes quantize weights straight to s8 (zp=0):
+            # identical values to u8-about-128 shifted by the constant 128,
+            # but the s8×s8 MXU pipe consumes them with NO in-graph carrier
+            # shift (a u8→s8 shift is an extra full HBM pass per conv —
+            # measured 3× total traffic on MobileNetV2-u8)
+            if wdt.qmin == 0:
+                wdt = Dtype.INT8
             qi = observe_qi(np.asarray(arr), wdt, symmetric=True, axis=per_channel_axis)
             qi.scheme = self.scheme
             t = from_float(arr, qi)
@@ -106,7 +111,23 @@ class NetBuilder:
     def _out_qinfo(self, name: str):
         if self.mode != "graph":
             return None
-        return self.rec.qinfo(name, self.scheme)
+        qi = self.rec.qinfo(name, self.scheme)
+        if qi is not None and qi.dtype == Dtype.UINT8:
+            # Internal activations of the u8 schemes ride s8 carriers with
+            # the zero-point shifted by -128 (same scale, identical values):
+            # the MXU integer pipe is s8×s8, and an in-graph u8→s8 shift
+            # would cost a full extra HBM pass per conv (per-layer profile:
+            # MobileNetV2-u8 large-spatial layers at ~30% of bandwidth).
+            # u8 remains the GRAPH-EDGE representation: the input tensor
+            # stays uint8-asym and the first conv shifts it once in-kernel
+            # (ref analog: fuse_zp_to_bias folds the same constants AOT,
+            # tests/validation_layer/testutil.h).
+            from csinn2_tpu.core.quant import from_minmax
+            lo, hi = self.rec.ranges[name]
+            qi = from_minmax(lo, hi, Dtype.INT8,
+                             symmetric=not self.scheme.asym_act)
+            qi.scheme = self.scheme
+        return qi
 
     def _post(self, t: Tensor, name: str) -> Tensor:
         if self.mode == "observe":

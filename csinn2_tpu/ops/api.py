@@ -110,6 +110,14 @@ def call_op(op: str, tensors: Sequence[Any], params=None,
                    cb.name)
 
     quantized_direct = cb.quant_direct
+    # the AOT zp-map helper input is a fast-path-only operand: strip it when
+    # dispatch resolved to a generic (dequant→f32) callback, whose signature
+    # does not know it (it is always appended last by the conv wrappers)
+    if not quantized_direct and flat and \
+            getattr(flat[-1].meta, "name", "") == "__zp_sumw_map__":
+        flat = flat[:-1]
+        structure = structure[:-1]
+        metas = metas[:-1]
 
     def exec_fn(arrays, _flat=tuple(flat), _structure=tuple(structure)):
         # rebuild positional args with dequantized floats
@@ -227,22 +235,62 @@ for _op in _BINARY_OPS:
 
 # --- structured ops ---------------------------------------------------------
 
+def _zp_sumw_tensor(x, weight, params):
+    """AOT activation-zp correction map for the integer conv fast path
+    (kernels/qconv.precompute_sumw_map): computed at graph build when the
+    weight is a const int carrier and x has a static nonzero effective
+    zero-point.  Returned as a const Tensor (name-tagged so the kernel
+    recognizes it) or None."""
+    import numpy as np
+    if not isinstance(x, Tensor) or not isinstance(weight, Tensor):
+        return None
+    if weight.data is None or x.qinfo is None or x.qinfo.dtype.is_float:
+        return None
+    if x.dtype not in (Dtype.INT8, Dtype.UINT8) or \
+            weight.dtype not in (Dtype.INT8, Dtype.UINT8):
+        return None
+    try:
+        zp = float(np.asarray(x.qinfo.zero_point).reshape(()))
+    except Exception:
+        return None
+    if x.dtype == Dtype.UINT8:
+        zp -= 128.0                       # kernel shifts u8 x into s8
+    # NB: builtins like round/abs are SHADOWED in this module by the
+    # generated op wrappers — use numpy
+    if int(np.round(zp)) == 0:
+        return None
+    from csinn2_tpu.kernels.qconv import precompute_sumw_map
+    m = precompute_sumw_map(np.asarray(weight.data), x.shape, params,
+                            w_layout=_w_layout(weight))
+    t = Tensor(m)
+    t.meta.name = "__zp_sumw_map__"
+    return t
+
+
+def _conv_inputs(x, weight, bias, params):
+    ins = [x, weight, bias]
+    m = _zp_sumw_tensor(x, weight, params)
+    if m is not None:
+        ins.append(m)
+    return ins
+
+
 def conv2d(x, weight, bias=None, params: P.Conv2dParams = None, out_qinfo=None):
     params = params or P.Conv2dParams()
-    return call_op("conv2d", [x, weight, bias], params, out_qinfo,
-                   w_layout=_w_layout(weight))
+    return call_op("conv2d", _conv_inputs(x, weight, bias, params),
+                   params, out_qinfo, w_layout=_w_layout(weight))
 
 
 def depthwise_conv2d(x, weight, bias=None, params: P.Conv2dParams = None, out_qinfo=None):
     params = params or P.Conv2dParams()
-    return call_op("depthwise_conv2d", [x, weight, bias], params, out_qinfo,
-                   w_layout=_w_layout(weight))
+    return call_op("depthwise_conv2d", _conv_inputs(x, weight, bias, params),
+                   params, out_qinfo, w_layout=_w_layout(weight))
 
 
 def group_conv2d(x, weight, bias=None, params: P.Conv2dParams = None, out_qinfo=None):
     params = params or P.Conv2dParams()
-    return call_op("group_conv2d", [x, weight, bias], params, out_qinfo,
-                   w_layout=_w_layout(weight))
+    return call_op("group_conv2d", _conv_inputs(x, weight, bias, params),
+                   params, out_qinfo, w_layout=_w_layout(weight))
 
 
 def _w_layout(weight):

@@ -102,67 +102,104 @@ def device_trace(logdir: str = "/tmp/csinn2_tpu_trace"):
 
 
 class LayerBenchmark:
-    """Per-layer timing by running each graph prefix — the jit analog of the
-    reference's per-node timer loop (SHL_LAYER_BENCHMARK, setup.c:1333-1357).
+    """Per-layer timing — the device-honest analog of the reference's
+    per-node timer loop (SHL_LAYER_BENCHMARK, setup.c:1333-1357).
 
-    Because XLA fuses the whole graph, true per-layer wall-clock inside one
-    executable doesn't exist; this reports (a) cumulative prefix times and
-    derived per-layer deltas, which is what the reference's printout shows.
+    Each node is timed STANDALONE: its concrete inputs are captured from one
+    eager graph replay, then the node's kernel runs inside a device-side
+    fori_loop whose trip count is a TRACED argument (one small compile per
+    node — O(N) node-sized compiles, replacing the r3 prefix scheme whose
+    k-th compile re-lowered k nodes: O(N²) node-compiles and minutes of
+    wall-clock at ResNet-50 scale).  Time is the long-minus-short loop
+    marginal with completion forced by a scalar fetch, so async dispatch and
+    transfer cancel — host wall-clock over a tunneled runtime measures RPC
+    rate, not device time (see Session.run_benchmark_device).
+
+    Standalone per-node cost ignores cross-layer XLA fusion, so the sum can
+    exceed the fused whole-graph time — but it attributes time to ops
+    honestly (same methodology as examples/mobilenet_profile.py, where it
+    located the r3 MobileNetV2-u8 regression).
     """
 
     def __init__(self, session):
         self.session = session
 
-    def run(self, *input_arrays, iters: int = 5) -> Dict[str, float]:
+    @staticmethod
+    def _device_time(fn, args, iters: int, reps: int) -> float:
+        """Marginal device seconds/call of fn(*args) via a traced-count
+        fori_loop (checksum over the FULL output so XLA cannot DCE it)."""
+        import numpy as np
         import jax
         import jax.numpy as jnp
+
+        staged = jax.block_until_ready(
+            [jax.device_put(jnp.stack([a, a])) for a in args])
+
+        @jax.jit
+        def jfn(n, *st):
+            def body(i, acc):
+                ins = [jax.lax.dynamic_index_in_dim(s, i % 2, 0,
+                                                    keepdims=False)
+                       for s in st]
+                out = fn(*ins)
+                if isinstance(out, (tuple, list)):
+                    out = out[0]
+                return acc + jnp.sum(jnp.asarray(out).astype(jnp.float32))
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        base = 3
+
+        def fetch(n):
+            t0 = time.perf_counter()
+            float(np.asarray(jfn(jnp.int32(n), *staged)))
+            return time.perf_counter() - t0
+
+        fetch(base)                     # one compile serves both lengths
+        t_s = min(fetch(base) for _ in range(reps))
+        t_l = min(fetch(base + iters) for _ in range(reps))
+        return max(t_l - t_s, 1e-12) / iters
+
+    def run(self, *input_arrays, iters: int = 48, reps: int = 3,
+            min_us: float = 0.0) -> Dict[str, float]:
+        """Returns {"<idx> <name>": milliseconds} per node.  min_us skips
+        reporting nodes cheaper than the threshold (still measured)."""
+        import jax.numpy as jnp
+        from csinn2_tpu.graph.ir import _const_key
         graph = self.session.graph
         consts = self.session._consts or graph.collect_consts()
         arrays = [jnp.asarray(a) for a in input_arrays]
+
+        # one eager replay collects every node's concrete inputs
+        env: Dict[int, Any] = {}
+        for t, arr in zip(graph.inputs, arrays):
+            env[id(t)] = arr
+        node_inputs = []
+        for node in graph.nodes:
+            args = [env.get(id(t), None) if id(t) in env
+                    else jnp.asarray(consts.get(_const_key(t), t.data))
+                    for t in node.inputs]
+            node_inputs.append(args)
+            res = node.exec_fn(args)
+            if not isinstance(res, (tuple, list)):
+                res = (res,)
+            for t, r in zip(node.outputs, res):
+                env[id(t)] = r
+
         results: Dict[str, float] = {}
-        prev = 0.0
-        for k in range(1, len(graph.nodes) + 1):
-            sub_nodes = graph.nodes[:k]
-            last = sub_nodes[-1]
-
-            def fn(consts, *inputs, _n=k):
-                env = {}
-                for t, arr in zip(graph.inputs, inputs):
-                    env[id(t)] = arr
-                out = None
-                from csinn2_tpu.graph.ir import _const_key
-                for node in graph.nodes[:_n]:
-                    args = []
-                    for t in node.inputs:
-                        if id(t) in env:
-                            args.append(env[id(t)])
-                        else:
-                            key = _const_key(t)
-                            args.append(consts.get(key, t.data))
-                    res = node.exec_fn(args)
-                    if not isinstance(res, (tuple, list)):
-                        res = (res,)
-                    for t, r in zip(node.outputs, res):
-                        env[id(t)] = r
-                    out = res
-                return out
-
-            jfn = jax.jit(fn)
-            jax.block_until_ready(jfn(consts, *arrays))
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                out = jfn(consts, *arrays)
-            jax.block_until_ready(out)
-            cum = (time.perf_counter() - t0) / iters * 1e3
-            results[f"{k:3d} {last.name}"] = max(cum - prev, 0.0)
-            prev = cum
+        for k, (node, args) in enumerate(zip(graph.nodes, node_inputs)):
+            act, rest = args[0], args[1:]   # loop the activation; close over
+            dt = self._device_time(         # weights (consts stay on device)
+                lambda a, _n=node, _r=rest: _n.exec_fn([a] + list(_r)),
+                [act], iters=iters, reps=reps)
+            if dt * 1e6 >= min_us:
+                results[f"{k:3d} {node.name}"] = dt * 1e3
         return results
 
     def print_report(self, results: Dict[str, float]):
         """(ref: shl_benchmark_layer printer, source/utils/debug.c:1037-1052)."""
         total = sum(results.values())
         print(f"{'layer':<40} {'ms':>10} {'%':>6}")
-        for name, ms in results.items():
+        for name, ms in sorted(results.items(), key=lambda kv: -kv[1]):
             pct = 100.0 * ms / total if total else 0.0
             print(f"{name:<40} {ms:>10.4f} {pct:>5.1f}%")
-        print(f"{'TOTAL':<40} {total:>10.4f}")
+        print(f"{'TOTAL (standalone sum)':<40} {total:>10.4f}")

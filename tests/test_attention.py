@@ -105,3 +105,44 @@ def test_sdpa_op_kv_len_decode_route(rng):
         Tensor(v[:, :, :n + 1].copy()),
         ops.SDPAParams(causal=True)).numpy()
     np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)
+
+
+def test_decode_attention_matches_flash(rng):
+    """Single-pass decode kernel == blocked flash kernel at sq=1 (per-row
+    positions, GQA, int8 KV) — the r4 decode fast path."""
+    from csinn2_tpu.kernels.flash_attention import decode_attention
+    b, hq, hk, d, S = 2, 8, 4, 32, 256
+    q = rng.standard_normal((b, hq, 1, d)).astype(np.float32)
+    k = rng.standard_normal((b, hk, S, d)).astype(np.float32)
+    v = rng.standard_normal((b, hk, S, d)).astype(np.float32)
+    pos = np.array([17, 133], np.int32)
+    want = np.asarray(flash_attention(jnp.asarray(q), jnp.asarray(k),
+                                      jnp.asarray(v), causal=True,
+                                      q_offset=pos, kv_len=pos + 1,
+                                      blk_q=8, blk_k=128, interpret=True))
+    got = np.asarray(decode_attention(jnp.asarray(q), jnp.asarray(k),
+                                      jnp.asarray(v), q_offset=pos,
+                                      kv_len=pos + 1, hk_blk=2,
+                                      interpret=True))
+    r = verify(got, want, tol=2e-2, min_cosine=0.9999)
+    assert r.cosine_sim > 0.9999, r
+
+
+def test_decode_attention_int8_kv(rng):
+    from csinn2_tpu.kernels.flash_attention import decode_attention
+    b, h, d, S = 1, 4, 32, 128
+    scale = 0.05
+    q = rng.standard_normal((b, h, 1, d)).astype(np.float32)
+    k8 = rng.integers(-127, 128, (b, h, S, d)).astype(np.int8)
+    v8 = rng.integers(-127, 128, (b, h, S, d)).astype(np.int8)
+    pos = np.array([63], np.int32)
+    want = np.asarray(flash_attention(
+        jnp.asarray(q, jnp.bfloat16), jnp.asarray(k8), jnp.asarray(v8),
+        causal=True, q_offset=pos, kv_len=pos + 1, kv_scale=scale,
+        blk_q=8, blk_k=128, interpret=True), np.float32)
+    got = np.asarray(decode_attention(
+        jnp.asarray(q, jnp.bfloat16), jnp.asarray(k8), jnp.asarray(v8),
+        q_offset=pos, kv_len=pos + 1, kv_scale=scale, hk_blk=4,
+        interpret=True), np.float32)
+    r = verify(got, want, tol=5e-2, min_cosine=0.999)
+    assert r.cosine_sim > 0.999, r

@@ -21,7 +21,10 @@ def _run_quantized(model, scheme, tol_cos=0.99, batch=1):
     out = sess.run(model.prepare_input(x, sess))
     out_np = np.asarray(out)
     if not str(out_np.dtype).startswith("float"):
-        qi = model.recorder.qinfo("fc", scheme)
+        # the session's ACTUAL output qinfo (u8 schemes carry internal
+        # activations as shifted-s8 — models/common._out_qinfo)
+        qi = sess.graph.outputs[0].meta.qinfo \
+            or model.recorder.qinfo("fc", scheme)
         out_np = np.asarray(dequantize(out_np, qi))
     r = verify(np.asarray(out_np, np.float32), golden, tol=0.5, min_cosine=tol_cos)
     assert r.cosine_sim >= tol_cos, r
