@@ -72,52 +72,25 @@ def _static_zp_vec(qi):
         return None
 
 
-def precompute_sumw_map(w_np, x_shape, params, w_layout=Layout.OIHW):
-    """AOT per-position valid-window weight-sum map for the activation-zp
-    correction: map[o, p] = Σ_{taps of window p inside the input} w[o, t],
-    computed ONCE at graph build on the host from the const weight (the
-    conv-geometry generalization of the reference's fuse_zp_to_bias AOT
-    fold, tests/validation_layer/testutil.h).
+def precompute_zp_wsum(w_np, w_layout=Layout.OIHW):
+    """AOT per-out-channel weight sum for the activation-zp correction,
+    computed ONCE at graph build from the const weight: with zp-padding
+    every window is full, so  y = acc - zx·Σw[o]  exactly (the reference's
+    fuse_zp_to_bias AOT fold, tests/validation_layer/testutil.h).
 
-    Why AOT instead of the in-graph batch-1 ones-conv: a conv cannot fuse
-    into another conv's epilogue, so the in-graph map forced the int32
-    accumulator of the MAIN conv to materialize in HBM between two kernels
-    — at MobileNetV2 b1.expand that is a 617 MB int32 round-trip per run,
-    measured 741 µs vs 215 µs for the conv alone.  As a const input the
-    correction is one more operand of the fused elementwise epilogue.
-
-    Returns int32 [1, O, H', W'] (params.layout order).  NOTE: a later
-    update_const() of the weight does not refresh this map (same caveat as
-    any AOT fold)."""
+    A VECTOR is the only correction form that stays inside the fused conv
+    epilogue: positional [1,O,H',W'] maps (whether AOT consts or in-graph
+    ones-convs) break the fusion and force the int32 accumulator through
+    HBM — measured 710-741 µs vs 215 µs for the bare conv at MNv2
+    b1.expand.  NOTE: update_const() of the weight does not refresh this
+    fold (same caveat as any AOT fold)."""
     w = np.asarray(w_np)
     if w_layout == Layout.OHWI:
         w = np.transpose(w, (0, 3, 1, 2))
     # u8-stored weights correspond to shifted s8 carriers (see _conv2d_quant)
     if w.dtype == np.uint8:
         w = w.astype(np.int64) - 128
-    # Separable exact-integer form: an all-ones image makes the group
-    # structure irrelevant, so map[o,h',w'] = Σ_{di,dj} (Σ_i w[o,i,di,dj])
-    #   · inside_h[h',di] · inside_w[w',dj]
-    wsum_tap = w.astype(np.int64).sum(axis=1)              # [O, kh, kw]
-    O, kh, kw = wsum_tap.shape
-    if params.layout == Layout.NCHW:
-        H, W = x_shape[2], x_shape[3]
-    else:
-        H, W = x_shape[1], x_shape[2]
-    pt, pd, pl_, pr = params.pad
-    sh, sw = params.stride
-    dh, dw_ = params.dilation
-    oh = (H + pt + pd - ((kh - 1) * dh + 1)) // sh + 1
-    ow = (W + pl_ + pr - ((kw - 1) * dw_ + 1)) // sw + 1
-    hpos = np.arange(oh)[:, None] * sh + np.arange(kh)[None, :] * dh - pt
-    wpos = np.arange(ow)[:, None] * sw + np.arange(kw)[None, :] * dw_ - pl_
-    mh = ((hpos >= 0) & (hpos < H)).astype(np.int64)       # [oh, kh]
-    mw = ((wpos >= 0) & (wpos < W)).astype(np.int64)       # [ow, kw]
-    m = np.einsum("okl,hk,wl->ohw", wsum_tap, mh, mw)
-    m = m[None]                                            # [1, O, oh, ow]
-    if params.layout == Layout.NHWC:
-        m = np.transpose(m, (0, 2, 3, 1))
-    return m.astype(np.int32)
+    return w.astype(np.int64).sum(axis=(1, 2, 3)).astype(np.int32)   # [O]
 
 
 def _dw_taps_int(x, wv, params, dn, padding):
@@ -180,10 +153,9 @@ def _conv2d_quant(arrays, metas, params, out_qinfo, w_layout=Layout.OIHW):
     s16×s16→s32 through the same integer path — exact where the f32-carrier
     fallback is not (s16 products exceed the 24-bit f32 mantissa)."""
     smap = None
-    if len(arrays) > 2 and getattr(metas[-1], "name", "") == "__zp_sumw_map__":
-        # AOT-precomputed valid-window weight-sum map (precompute_sumw_map,
-        # appended by the op API when x has a static nonzero zp): a const
-        # epilogue operand instead of an in-graph ones-conv
+    if len(arrays) > 2 and getattr(metas[-1], "name", "") == "__zp_wsum__":
+        # AOT-precomputed per-channel weight-sum vector (precompute_zp_wsum,
+        # appended by the op API when x has a static nonzero zp)
         smap = arrays[-1]
         arrays = arrays[:-1]
     x = arrays[0]
@@ -237,7 +209,25 @@ def _conv2d_quant(arrays, metas, params, out_qinfo, w_layout=Layout.OIHW):
         # (ref: the int16 GEMM core, source/c908_opt/gemm_int16_ncxhwx.S —
         # same int32 accumulator, same >=2^31 saturation caveat at huge K)
         zp_i = int(round(zp))
-        padding = ((pt, pd), (pl_, pr))
+        pad_with_zp = zp_i != 0 and bool(pt or pd or pl_ or pr)
+        if pad_with_zp:
+            # zp-pad so border windows see (zp - zp)·w = 0 like interior
+            # ones — the correction then stays a PER-CHANNEL VECTOR, which
+            # fuses into the conv epilogue exactly like bias.  A positional
+            # [1,O,H',W'] correction map (AOT const or in-graph ones-conv)
+            # does NOT fuse — it forces the int32 accumulator through HBM
+            # (measured: MNv2 b1.expand 710-741 µs with either map form vs
+            # 215 µs for the bare conv; MNv1's map-free int8-sym pw convs
+            # run at the HBM floor).  The pad costs one extra pass over x
+            # for spatially-padded convs only.
+            pads = [(0, 0)] * 4
+            haxis = 1 if params.layout == Layout.NHWC else 2
+            pads[haxis] = (pt, pd)
+            pads[haxis + 1] = (pl_, pr)
+            x = jnp.pad(x, pads, constant_values=np.asarray(zp_i, x.dtype))
+            padding = ((0, 0), (0, 0))
+        else:
+            padding = ((pt, pd), (pl_, pr))
         acc = None
         o_ax = dn[1].index("O")
         dw_mult1 = (params.group > 1 and wv.shape[dn[1].index("I")] == 1
@@ -269,27 +259,25 @@ def _conv2d_quant(arrays, metas, params, out_qinfo, w_layout=Layout.OIHW):
                 feature_group_count=groups, preferred_element_type=jnp.int32)
 
         if zp_i != 0:
-            # Exact activation-zp correction with ZERO padding and no
-            # activation copy: y = Σ_valid(x-zx)·w = conv0(x,w) - zx·M where
-            # M[o,p] = Σ_{taps of window p inside the input} w[o,t]
-            # (interior windows see the full Σw, the border ring the
-            # truncated sum — both exact).  Preferred source: the AOT const
-            # map (smap) — a conv cannot fuse into another conv's epilogue,
-            # so the in-graph ones-conv fallback forces the int32
-            # accumulator through HBM (measured 741 vs 215 µs at MNv2
-            # b1.expand).  (ref: fuse_zp_to_bias AOT fold,
-            # tests/validation_layer/testutil.h.)
-            if smap is not None:
-                acc = acc - zp_i * smap
+            # Activation-zp correction: with zp-padding every window is full,
+            # so the exact correction is the PER-CHANNEL Σw vector — it rides
+            # the fused epilogue like bias (ref: fuse_zp_to_bias,
+            # tests/validation_layer/testutil.h).  Preferred source: the AOT
+            # const vector (appended by the op API); fallback: an in-graph
+            # weight reduction (tiny [O] output, one extra read of w per run).
+            if smap is not None and smap.ndim == 1:
+                wsum = smap.astype(jnp.int32)
             else:
-                ones_img = jnp.ones((1,) + x.shape[1:], jnp.int8)
-                sumw_map = _convg(ones_img, wv, params.group)
-                acc = acc - zp_i * sumw_map
+                o_axis = dn[1].index("O")
+                wsum = jnp.sum(wv.astype(jnp.int32),
+                               axis=tuple(a for a in range(4) if a != o_axis))
+            acc = acc - zp_i * jnp.reshape(wsum, shape)
         if u8 and np.any(zw_vec != 0):
             # General asymmetric-weight path (arbitrary zw): needs per-window
-            # activation sums S[p] = Σ_valid (x - zx') — one ones-KERNEL conv
-            # over x (zero-padded; full-batch, unavoidable for true asym
-            # weights) minus zx'·(valid-tap count map, batch-1).
+            # activation sums S[p] = Σ_window (x - zx') — one ones-KERNEL
+            # conv over x (full-batch, unavoidable for true asym weights).
+            # zp_i != 0 → x is zp-padded (full windows): subtract zx'·count.
+            # zp_i == 0 → zero padding and the sum is already exact.
             g = params.group
             o_axis = dn[1].index("O")
             i_axis = dn[1].index("I")
@@ -302,9 +290,7 @@ def _conv2d_quant(arrays, metas, params, out_qinfo, w_layout=Layout.OIHW):
             ones_shape[rest[0]], ones_shape[rest[1]] = kh_kw
             ones_w = jnp.ones(ones_shape, jnp.int8)
             s0 = _convg(x, ones_w, g)                      # [N, g, H', W']
-            ones_img = jnp.ones((1,) + x.shape[1:], jnp.int8)
-            cnt_map = _convg(ones_img, ones_w, g)          # [1, g, H', W']
-            winsum = s0 - zp_i * cnt_map                   # [N, g, H', W']
+            winsum = s0 - zp_i * (ig * kh_kw[0] * kh_kw[1])
             O = wv.shape[o_axis]
             if g != O:
                 winsum = jnp.repeat(winsum, O // g, axis=caxis)

@@ -114,7 +114,7 @@ def call_op(op: str, tensors: Sequence[Any], params=None,
     # dispatch resolved to a generic (dequant→f32) callback, whose signature
     # does not know it (it is always appended last by the conv wrappers)
     if not quantized_direct and flat and \
-            getattr(flat[-1].meta, "name", "") == "__zp_sumw_map__":
+            getattr(flat[-1].meta, "name", "") == "__zp_wsum__":
         flat = flat[:-1]
         structure = structure[:-1]
         metas = metas[:-1]
@@ -236,8 +236,8 @@ for _op in _BINARY_OPS:
 # --- structured ops ---------------------------------------------------------
 
 def _zp_sumw_tensor(x, weight, params):
-    """AOT activation-zp correction map for the integer conv fast path
-    (kernels/qconv.precompute_sumw_map): computed at graph build when the
+    """AOT activation-zp correction vector for the integer conv fast path
+    (kernels/qconv.precompute_zp_wsum): computed at graph build when the
     weight is a const int carrier and x has a static nonzero effective
     zero-point.  Returned as a const Tensor (name-tagged so the kernel
     recognizes it) or None."""
@@ -259,11 +259,10 @@ def _zp_sumw_tensor(x, weight, params):
     # generated op wrappers — use numpy
     if int(np.round(zp)) == 0:
         return None
-    from csinn2_tpu.kernels.qconv import precompute_sumw_map
-    m = precompute_sumw_map(np.asarray(weight.data), x.shape, params,
-                            w_layout=_w_layout(weight))
+    from csinn2_tpu.kernels.qconv import precompute_zp_wsum
+    m = precompute_zp_wsum(np.asarray(weight.data), w_layout=_w_layout(weight))
     t = Tensor(m)
-    t.meta.name = "__zp_sumw_map__"
+    t.meta.name = "__zp_wsum__"
     return t
 
 
