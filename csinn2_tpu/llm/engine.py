@@ -557,21 +557,32 @@ class InferenceEngine:
         and transfer cancel out — host timing loops only measure RPC rate on
         async/tunneled runtimes.
 
-        Single-chip path: the loop count is a TRACED fori_loop bound so ONE
-        compile serves both lengths (the loop wrapper compiles far slower
-        than the bare step on the remote-compile runtime).  Mesh path keeps
-        the static-length _decode_scan executable."""
+        Single-chip bs=1 path: the loop count is a TRACED fori_loop bound so
+        ONE compile serves both lengths (the loop wrapper compiles far
+        slower than the bare step on the remote-compile runtime).  Larger
+        batches and mesh runs keep the static-length _decode_scan
+        executable with a DONATED cache — the fori carry does not alias its
+        in-jit init, so at 7B bs8/S=1024 the extra carry copy OOMs the
+        chip."""
         key = jax.random.PRNGKey(0)
         base = max(iters // 16, 2)
 
-        if self.mesh is None:
+        if self.mesh is None and self.batch == 1:
             decode_local = self._decode_local_fn
             scale = self.cache.scale
             kv_bound = _round256(pos0 + base + iters + 1,
                                  self.cfg.max_seq_len)
+            kshape, kdt = self.cache.k.shape, self.cache.k.dtype
+            vshape, vdt = self.cache.v.shape, self.cache.v.dtype
 
             @jax.jit
-            def looped(n, params, k, v):
+            def looped(n, params):
+                # the benchmark KV cache is allocated INSIDE the jit: it
+                # lives only in this executable's frame, so the engine's
+                # persistent cache is not duplicated (at 7B bs8/S=1024 the
+                # two copies of a passed-in carry OOM'd the chip)
+                k = jnp.zeros(kshape, kdt)
+                v = jnp.zeros(vshape, vdt)
                 toks = jnp.ones((self.batch,), jnp.int32)
                 pos = jnp.full((self.batch,), pos0, jnp.int32)
 
@@ -591,8 +602,7 @@ class InferenceEngine:
 
             def run(n):
                 t0 = time.perf_counter()
-                float(np.asarray(looped(jnp.int32(n), self.params,
-                                        self.cache.k, self.cache.v)))
+                float(np.asarray(looped(jnp.int32(n), self.params)))
                 return time.perf_counter() - t0
 
             run(base)                         # one compile, both lengths
