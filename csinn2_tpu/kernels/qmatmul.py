@@ -118,7 +118,7 @@ def _kernel(x_ref, w_ref, s_ref, b_ref, out_ref, acc_ref, *, scale_mode: str,
             packed_int4: bool = False, bk: int = 0, bn: int = 0,
             w_transposed: bool = False, int_dot: bool = False,
             has_bias: bool = False, out_zp: float = 0.0,
-            qclip=None, deq: str = "repeat"):
+            qclip=None, deq: str = "repeat", split_x: bool = False):
     """One (BM, BN) output tile; grid = (M/BM, N/BN, K/BK), K innermost.
 
     w_transposed: the weight is prepacked [N, K] ("rearranged" layout, the
@@ -185,6 +185,28 @@ def _kernel(x_ref, w_ref, s_ref, b_ref, out_ref, acc_ref, *, scale_mode: str,
         dot_t = lambda a, b: jax.lax.dot_general(
             a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         acc_ref[:] += dot_t(xlo, lo) + dot_t(xhi, hi)
+    elif packed_int4 and split_x:
+        # Standard [K/2, N] packed layout, bias-free: split the contraction
+        # into nibble planes instead of unpack+CONCAT (the concat is a
+        # sublane data-movement pass over the whole weight tile — at q4_0
+        # decode the kernel is VPU-bound on it, measured 83 tok/s = only
+        # 45% of the int4 weight-read SOL while q8_0 reaches 74% of its).
+        # hi = byte >> 4 is sign-correct in one op (top nibble is two's
+        # complement); lo = (byte << 28) >> 28.  x comes pre-split
+        # (x_lo rides the x slot, x_hi the bias slot — see quant_matmul).
+        xhi_ref = b_ref
+        p = w_ref[:].astype(jnp.int32)                 # [bk/2, bn]
+        lo = ((p << 28) >> 28).astype(jnp.bfloat16)
+        hi = (p >> 4).astype(jnp.bfloat16)
+        if scale_mode == "block":
+            s = s_ref[:].astype(jnp.bfloat16)          # [bk/32, bn]
+            s_half = jnp.repeat(s, 16, axis=0)         # [bk/2, bn]
+            lo = lo * s_half
+            hi = hi * s_half
+        xlo = x_ref[:].astype(jnp.bfloat16)            # [bm, bk/2]
+        xhi = xhi_ref[:].astype(jnp.bfloat16)
+        acc_ref[:] += (jnp.dot(xlo, lo, preferred_element_type=jnp.float32)
+                       + jnp.dot(xhi, hi, preferred_element_type=jnp.float32))
     else:
         if int_dot:
             x = x_ref[:]                               # int8
@@ -296,10 +318,20 @@ def quant_matmul(x, w_q, scales=None, bias=None, *, scale_mode: str = "channel",
             if bn is None:
                 Nr, Kr = _round_up(N, 128), _round_up(K, 128)
                 bn = Nr
-                wbytes = 0.5 if packed_int4 else 1.0
+                # VMEM cap uses the COMPUTE footprint, not storage: a packed
+                # int4 tile unpacks to bf16 nibble planes in-kernel (2 B per
+                # element — 4x the 0.5 B storage; the storage-based cap let
+                # Mosaic's scoped vmem overflow at wqkv N=12288)
+                wbytes = 2.0 if packed_int4 else 1.0
                 while bn * bk * wbytes > 6 * 2**20 and (bn > 512 or bk > 128):
                     cand = _pick_tile(Nr, bn // 2) if bn > 512 else 128
-                    if bn > 512 and (cand >= 512 or bk <= 128):
+                    if packed_int4 and bk > 256:
+                        # int4 decode: the weight-byte stream is halved, so
+                        # wide-N rows matter even more — shrink bk first
+                        # (floor 256: the split-dot x block is bk/2 lanes,
+                        # and Pallas needs >= 128)
+                        bk = _pick_tile(Kr, bk // 2)
+                    elif bn > 512 and (cand >= 512 or bk <= 128):
                         bn = cand                  # keep bn | Nr (no pad)
                     else:
                         # sparse divisor structure (e.g. Nr = 128·prime):
@@ -317,7 +349,7 @@ def quant_matmul(x, w_q, scales=None, bias=None, *, scale_mode: str = "channel",
             # burst.  Tiles must divide the 128-rounded dims (see _pick_tile)
             # and the double-buffered working set must fit ~16 MiB VMEM.
             bm = bm or min(256, _round_up(M, 8))
-            wbytes = 0.5 if packed_int4 else 1.0
+            wbytes = 2.0 if packed_int4 else 1.0   # compute footprint (see above)
             Nr, Kr = _round_up(N, 128), _round_up(K, 128)
             bn_auto = bn is None
             if bn is None:
@@ -368,12 +400,22 @@ def quant_matmul(x, w_q, scales=None, bias=None, *, scale_mode: str = "channel",
     n_k = Kp // bk
     grid = (Mp // bm, Np // bn, n_k)
 
+    # integer MXU path: exact and ~2× the bf16 rate; valid when scales factor
+    # out of the K-contraction (per-channel/none, not per-K-block)
+    int_dot = (x.dtype == jnp.int8 and w_q.dtype == jnp.int8
+               and scale_mode in ("channel", "none")
+               and not (packed_int4 and w_transposed))
+
     xhi = None
-    if w_transposed and packed_int4:
+    split_x = False
+    if packed_int4 and (w_transposed or (bias is None and not int_dot)):
         # pre-split x into nibble-halves (see _kernel): XLA does the reorder
         # once on the (tiny at decode) activation.  xlo rides the x slot,
-        # xhi rides the bias slot (bias unsupported in this mode).
-        assert bias is None, "bias not supported with transposed packed int4"
+        # xhi rides the bias slot (bias unsupported in these modes).  Used
+        # by the transposed layout (lane-merge reshape not lowerable) AND by
+        # the standard packed layout (split-dot beats unpack+concat).
+        assert bias is None, "bias not supported with packed-int4 split dots"
+        split_x = not w_transposed
         x3 = x.reshape(Mp, Kp // BLOCK, BLOCK)
         xhi = x3[:, :, 16:].reshape(Mp, Kp // 2)
         x = x3[:, :, :16].reshape(Mp, Kp // 2)
@@ -416,7 +458,7 @@ def quant_matmul(x, w_q, scales=None, bias=None, *, scale_mode: str = "channel",
 
     has_bias = bias is not None
     if xhi is not None:
-        # transposed packed int4: the high-nibble activation half rides the
+        # packed int4 split dots: the high-nibble activation half rides the
         # bias input slot
         in_specs.append(pl.BlockSpec((bm, bk // 2), lambda i, j, k: (i, k),
                                      memory_space=pltpu.VMEM))
@@ -432,11 +474,6 @@ def quant_matmul(x, w_q, scales=None, bias=None, *, scale_mode: str = "channel",
                                      memory_space=pltpu.VMEM))
         args.append(jnp.zeros((1, 1), jnp.float32))
 
-    # integer MXU path: exact and ~2× the bf16 rate; valid when scales factor
-    # out of the K-contraction (per-channel/none, not per-K-block)
-    int_dot = (x.dtype == jnp.int8 and w_q.dtype == jnp.int8
-               and scale_mode in ("channel", "none")
-               and not (packed_int4 and w_transposed))
     odt = jnp.dtype(out_dtype)
     qclip = None
     if jnp.issubdtype(odt, jnp.integer) and odt != jnp.int32:
@@ -453,7 +490,7 @@ def quant_matmul(x, w_q, scales=None, bias=None, *, scale_mode: str = "channel",
                           packed_int4=packed_int4, bk=bk, bn=bn,
                           w_transposed=w_transposed, int_dot=int_dot,
                           has_bias=has_bias, out_zp=out_zp, qclip=qclip,
-                          deq=deq),
+                          deq=deq, split_x=split_x),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),

@@ -48,6 +48,8 @@ class NodeCost:
     act_bytes: int      # activation read + write
     w_bytes: int        # parameter read
     fusable: bool
+    extra_read: int = 0  # bytes a fused epilogue still MUST read (residual
+    #                      second operand) — counted in the fused total
 
     @property
     def bytes(self) -> int:
@@ -91,6 +93,7 @@ def node_cost(node, consts_ids) -> NodeCost:
     out_b = sum(_nbytes(t.meta) for t in node.outputs)
 
     op = node.op
+    extra_read = 0
     if op in ("conv2d", "depthwise_conv2d", "group_conv2d", "conv2d_relu",
               "conv2d_relu6", "deconv2d", "ds_block"):
         flops = _conv_flops(node)
@@ -110,8 +113,21 @@ def node_cost(node, consts_ids) -> NodeCost:
     else:
         flops = int(np.prod(node.outputs[0].meta.shape)) if node.outputs else 0
         fusable = op in _FUSABLE
-    return NodeCost(name=node.name or op, op=op, flops=flops,
+        if fusable and op in ("add", "sub", "mul", "div", "minimum",
+                              "maximum"):
+            # Residual-style binary elementwise between two PRODUCED
+            # tensors: one operand rides the producer's fused epilogue, but
+            # the OTHER is a real extra HBM read the fusion cannot elide
+            # (e.g. every ResNet/MNv2 skip connection).  Count that operand
+            # as unavoidable traffic even in the fused total.
+            produced = [t for t in node.inputs
+                        if t is not None and id(t) not in consts_ids]
+            if len(produced) >= 2:
+                extra_read = min(_nbytes(t.meta) for t in produced)
+    cost = NodeCost(name=node.name or op, op=op, flops=flops,
                     act_bytes=act_in + out_b, w_bytes=w_in, fusable=fusable)
+    cost.extra_read = extra_read
+    return cost
 
 
 @dataclasses.dataclass
@@ -126,9 +142,13 @@ class RooflineReport:
 
     @property
     def fused_sol_s(self) -> float:
-        """Speed-of-light seconds assuming XLA fuses all elementwise chains."""
-        return sum(c.t_us(self.peak_tops, self.hbm_gbps)
-                   for c in self.costs if not c.fusable) * 1e-6
+        """Speed-of-light seconds assuming XLA fuses all elementwise chains
+        (plus the residual-read traffic fusion cannot elide — extra_read)."""
+        matrix = sum(c.t_us(self.peak_tops, self.hbm_gbps)
+                     for c in self.costs if not c.fusable)
+        residual = sum(c.extra_read for c in self.costs if c.fusable) \
+            / (self.hbm_gbps * 1e9) * 1e6
+        return (matrix + residual) * 1e-6
 
     @property
     def unfused_sol_s(self) -> float:
