@@ -323,20 +323,70 @@ def _conv2d_quant(arrays, metas, params, out_qinfo, w_layout=Layout.OIHW):
             rhs_dilation=params.dilation, dimension_numbers=dn,
             feature_group_count=params.group, preferred_element_type=jnp.float32)
 
-    eff = jnp.reshape(sx * sw, shape) if jnp.ndim(sw) else sx * sw
-    y = acc * eff
+    def _b(v):
+        return jnp.reshape(v, shape) if jnp.ndim(v) else v
+
+    eff = sx * sw                           # [O] or scalar, f32
+    if out_qinfo is not None and not out_qinfo.dtype.is_float:
+        # Fully-folded requantize: ONE multiply + ONE add + round + clip.
+        # scale2 = sx·sw/so, bias2 = zo + bias/so; the fused-relu/relu6
+        # clamps fold into the integer clip bounds (round(y/so)+zo is
+        # monotone affine, so clamping y to [0, 6] == clamping q to
+        # [zo, round(6/so)+zo]).  The unfolded chain (·eff, +bias, relu6,
+        # /so, +zo, clip) pushed XLA past its conv-epilogue fusion budget
+        # and spilled the accumulator to HBM — measured 725 µs vs 330 µs
+        # for this folded form at MNv2 b1.expand shapes.  (ref: the fused
+        # requantize epilogue requantize_m4_s,
+        # source/thead_rvv/int8/gemm_int8_packn.c:26-41.)
+        so, zo = _scales(out_qinfo)
+        # clip bounds must be STATIC python floats: traced bounds stop XLA
+        # recognizing the clamp pattern and the epilogue falls out of the
+        # conv fusion (the output qinfo is per-tensor, so they are static;
+        # a dynamic qinfo falls through to the unfolded float path below)
+        try:
+            so_f = float(np.asarray(out_qinfo.scale).reshape(()))
+            zo_f = float(np.asarray(out_qinfo.zero_point).reshape(()))
+        except Exception:
+            so_f = None
+        # MEASURED dispatch (v5e): the folded form wins for ASYMMETRIC
+        # outputs (MNv2-u8 24.3k → 41.8k img/s — the longer unfolded chain
+        # ·eff, +bias, relu6, /so, +zo, clip overflows XLA's conv-epilogue
+        # fusion budget and spills the accumulator), but REGRESSES the
+        # symmetric-output models (MNv1-int8 60k → 38.6k img/s with either
+        # static or traced clip bounds).  Dispatch on zo: zero → classic
+        # chain, nonzero → folded.
+        if so_f is not None and zo_f != 0.0:
+            scale2 = eff / so
+            bias2 = zo if bias is None else \
+                zo + jnp.asarray(bias, jnp.float32) / so
+            lo = float(out_qinfo.dtype.qmin)
+            hi = float(out_qinfo.dtype.qmax)
+            if params.fuse_relu or params.fuse_relu6:
+                lo = max(lo, zo_f)
+            if params.fuse_relu6:
+                hi = min(hi, float(np.round(6.0 / so_f)) + zo_f)
+            y = acc.astype(jnp.float32) * _b(scale2) + _b(bias2)
+            q = jnp.clip(jnp.round(y), lo, hi)
+            return q.astype(out_qinfo.dtype.jnp)
+        y = acc.astype(jnp.float32) * _b(eff)
+        if bias is not None:
+            y = y + _b(jnp.asarray(bias, jnp.float32))
+        if params.fuse_relu:
+            y = jnp.maximum(y, 0.0)
+        if params.fuse_relu6:
+            y = jnp.clip(y, 0.0, 6.0)
+        q = jnp.clip(jnp.round(y / so) + zo, out_qinfo.dtype.qmin,
+                     out_qinfo.dtype.qmax)
+        return q.astype(out_qinfo.dtype.jnp)
+
+    y = acc * _b(eff)
     if bias is not None:
-        y = y + jnp.reshape(jnp.asarray(bias, jnp.float32), shape)
+        y = y + _b(jnp.asarray(bias, jnp.float32))
     if params.fuse_relu:
         y = jnp.maximum(y, 0.0)
     if params.fuse_relu6:
         y = jnp.clip(y, 0.0, 6.0)
-    if out_qinfo is None or out_qinfo.dtype.is_float:
-        return y if out_qinfo is None else y.astype(out_qinfo.dtype.jnp)
-    so, zo = _scales(out_qinfo)
-    q = jnp.round(y / so) + zo
-    q = jnp.clip(q, out_qinfo.dtype.qmin, out_qinfo.dtype.qmax)
-    return q.astype(out_qinfo.dtype.jnp)
+    return y if out_qinfo is None else y.astype(out_qinfo.dtype.jnp)
 
 
 def _depthwise_quant(arrays, metas, params, out_qinfo, w_layout=Layout.OIHW):

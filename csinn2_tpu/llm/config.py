@@ -40,6 +40,13 @@ class LlamaConfig:
                            ffn_dim=13824)
 
     @staticmethod
+    def llama2_70b() -> "LlamaConfig":
+        """GQA geometry (8 KV heads) — the multi-chip TP target; the engine
+        and flash/decode kernels handle hq != hk via head-group mapping."""
+        return LlamaConfig(dim=8192, n_layers=80, n_heads=64, n_kv_heads=8,
+                           ffn_dim=28672, max_seq_len=4096)
+
+    @staticmethod
     def tiny(vocab: int = 256, max_seq: int = 128) -> "LlamaConfig":
         """Small config for tests/dryruns."""
         return LlamaConfig(dim=64, n_layers=2, n_heads=4, n_kv_heads=2,

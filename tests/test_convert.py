@@ -232,6 +232,47 @@ def test_convert_hf_matches_transformers(tmp_path):
     assert cs >= 0.999, cs
 
 
+def test_convert_hf_q8_matches_transformers(tmp_path):
+    """The QUANTIZED import path (mode=q8_0) against transformers' float
+    forward — the end-to-end accuracy gate a real-checkpoint user hits
+    (cosine >= 0.99, the reference's CI gate; tests/autotest/conftest.py:34).
+    Also exercises GQA (num_key_value_heads < num_attention_heads)."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from safetensors.torch import save_file
+    from csinn2_tpu.llm.convert import convert_hf
+    from csinn2_tpu.llm.json_io import load_llm
+    from csinn2_tpu.llm.model import KVCache, llama_forward
+
+    hf_cfg = transformers.LlamaConfig(
+        hidden_size=64, intermediate_size=96, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=128,
+        max_position_embeddings=64, rms_norm_eps=1e-5, rope_theta=10000.0,
+        tie_word_embeddings=False)
+    torch.manual_seed(1)
+    model = transformers.LlamaForCausalLM(hf_cfg).eval()
+    ckpt = tmp_path / "hf"
+    ckpt.mkdir()
+    save_file({k: v.contiguous() for k, v in model.state_dict().items()},
+              str(ckpt / "model.safetensors"))
+    cfg_dict = json.loads(hf_cfg.to_json_string())
+    cfg_dict["model_type"] = "llama"
+    (ckpt / "config.json").write_text(json.dumps(cfg_dict))
+
+    out = convert_hf(str(ckpt), str(tmp_path / "model"), mode="q8_0")
+    cfg, params = load_llm(out)
+    assert cfg.n_kv_heads == 2 and cfg.n_heads == 4
+
+    ids = np.array([[1, 7, 23, 42, 99]], np.int64)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(ids)).logits.float().numpy()
+    cache = KVCache.create(cfg, batch=1)
+    logits, _ = llama_forward(params, jnp.asarray(ids, jnp.int32), cache, 0,
+                              cfg, use_pallas=False)
+    cs = cosine_similarity(np.asarray(logits, np.float32).ravel(), ref.ravel())
+    assert cs >= 0.99, cs
+
+
 def test_sp_tokenizer_encode_decode():
     """Greedy SP-BPE merges by score and byte-fallback round-trips."""
     toks = ["<unk>", "<s>", "</s>"] + [f"<0x{b:02X}>" for b in range(256)]
