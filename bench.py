@@ -80,10 +80,32 @@ def _enable_compile_cache():
         _note(f"compile cache unavailable: {e}")
 
 
+_ALL_METRICS = []
+
+
 def emit(metric, value, unit, vs_baseline):
-    print(json.dumps({"metric": metric, "value": round(float(value), 3),
-                      "unit": unit, "vs_baseline": round(float(vs_baseline), 3)}))
+    rec = {"metric": metric, "value": round(float(value), 3),
+           "unit": unit, "vs_baseline": round(float(vs_baseline), 3)}
+    _ALL_METRICS.append(rec)
+    print(json.dumps(rec))
     sys.stdout.flush()
+
+
+def emit_scoreboard():
+    """Re-emit EVERY metric line in one compact block as the LAST output and
+    persist it to BENCH_FULL.json — the driver captures only the output tail,
+    so without this the early (LLM) metrics vanish from the artifact
+    (r4 VERDICT Weak #7)."""
+    _note(f"scoreboard: {len(_ALL_METRICS)} metrics (full list follows)")
+    for rec in _ALL_METRICS:
+        print(json.dumps(rec))
+    sys.stdout.flush()
+    try:
+        with open(os.path.join(_HERE, "BENCH_FULL.json"), "w") as f:
+            json.dump(_ALL_METRICS, f, indent=1)
+        _note("wrote BENCH_FULL.json")
+    except OSError as e:
+        _note(f"BENCH_FULL.json write failed: {e}")
 
 
 def section(name, est_s):
@@ -376,6 +398,7 @@ def main():
             guarded(bench_mnv1_f32_baseline, "mobilenet_v1_f32_baseline")
 
     _note(f"bench done in {time.time()-_T0:.0f}s")
+    emit_scoreboard()
 
 
 if __name__ == "__main__":

@@ -132,7 +132,9 @@ def _decode_attn_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, *,
                                   preferred_element_type=jnp.float32)
         if kv_scale is not None:
             acc = acc * kv_scale
-        o_ref[0, h] = (acc[0] / l).astype(o_ref.dtype)
+        # kv_len == 0 (inactive continuous-batching slot) makes l == 0;
+        # clamp so that lane outputs 0 instead of NaN
+        o_ref[0, h] = (acc[0] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "kv_scale", "hk_blk",

@@ -21,8 +21,11 @@ class LlamaConfig:
     n_experts: int = 0       # 0 → dense FFN; >0 → MoE (net-new vs reference)
     moe_top_k: int = 2       # experts routed per token
     # "auto": measured crossover (dense below 256 tokens, routed above);
-    # "dense": always the exact no-drop formulation; "routed": always
-    # capacity-based dispatch (renormalized over kept experts)
+    # "dense": always the exact no-drop formulation; "routed": capacity-based
+    # dispatch (renormalized over kept experts) — NOTE: under EP or TP
+    # sharding the routed dispatch einsums are single-device, so sharded
+    # forwards fall back to the dense formulation regardless of this field
+    # (llm/model.py llama_forward).
     moe_dispatch: str = "auto"
     moe_capacity_factor: float = 2.0   # routed-dispatch capacity multiplier
 

@@ -35,7 +35,13 @@ class SPTokenizer:
         self.bos_id, self.eos_id, self.unk_id = bos_id, eos_id, unk_id
         self.add_space_prefix = add_space_prefix
         self._index: Dict[str, int] = {t: i for i, t in enumerate(self.tokens)}
-        self._byte0 = self._index.get("<0x00>")
+        # explicit byte -> id table (a vocab's '<0xNN>' pieces need not be
+        # contiguous); bytes without a piece fall back to unk
+        self._byte_ids: Dict[int, int] = {}
+        for b in range(256):
+            i = self._index.get("<0x%02X>" % b)
+            if i is not None:
+                self._byte_ids[b] = i
 
     @property
     def vocab_size(self) -> int:
@@ -49,8 +55,9 @@ class SPTokenizer:
             i = self._index.get(ch)
             if i is not None:
                 ids.append(i)
-            elif self._byte0 is not None:
-                ids.extend(self._byte0 + b for b in ch.encode("utf-8"))
+            elif self._byte_ids:
+                ids.extend(self._byte_ids.get(b, self.unk_id)
+                           for b in ch.encode("utf-8"))
             else:
                 ids.append(self.unk_id)
         return ids

@@ -178,7 +178,11 @@ class LayerBenchmark:
             args = [env.get(id(t), None) if id(t) in env
                     else jnp.asarray(consts.get(_const_key(t), t.data))
                     for t in node.inputs]
-            node_inputs.append(args)
+            # loop the first graph-produced (non-const) input; const-only
+            # nodes get act_idx -1 and are timed with all inputs closed over
+            act_idx = next((i for i, t in enumerate(node.inputs)
+                            if id(t) in env), -1)
+            node_inputs.append((args, act_idx))
             res = node.exec_fn(args)
             if not isinstance(res, (tuple, list)):
                 res = (res,)
@@ -186,11 +190,17 @@ class LayerBenchmark:
                 env[id(t)] = r
 
         results: Dict[str, float] = {}
-        for k, (node, args) in enumerate(zip(graph.nodes, node_inputs)):
-            act, rest = args[0], args[1:]   # loop the activation; close over
-            dt = self._device_time(         # weights (consts stay on device)
-                lambda a, _n=node, _r=rest: _n.exec_fn([a] + list(_r)),
-                [act], iters=iters, reps=reps)
+        for k, (node, (args, ai)) in enumerate(zip(graph.nodes, node_inputs)):
+            if ai < 0:                      # const-only node: nothing to loop
+                dt = self._device_time(
+                    lambda a, _n=node, _a=args: _n.exec_fn(list(_a)),
+                    [jnp.zeros((1,), jnp.float32)], iters=iters, reps=reps)
+            else:                           # loop the activation; close over
+                rest = args[:ai] + args[ai + 1:]   # weights (stay on device)
+                dt = self._device_time(
+                    lambda a, _n=node, _r=rest, _i=ai:
+                        _n.exec_fn(list(_r[:_i]) + [a] + list(_r[_i:])),
+                    [args[ai]], iters=iters, reps=reps)
             if dt * 1e6 >= min_us:
                 results[f"{k:3d} {node.name}"] = dt * 1e3
         return results

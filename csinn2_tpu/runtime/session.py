@@ -271,11 +271,36 @@ class Session:
 
     def update_const(self, tensor: Tensor, new_data):
         """Swap a weight without recompiling (ref: csinn_update_input re-points
-        data, source/graph_ref/setup.c:51-56)."""
+        data, source/graph_ref/setup.c:51-56).
+
+        Also refreshes any AOT '__zp_wsum__' per-channel weight-sum const
+        (appended by ops/api._zp_sumw_tensor for integer convs with nonzero
+        activation zero-point) in nodes consuming this tensor as a weight —
+        otherwise the zp correction would silently keep the OLD weight's sums."""
         from csinn2_tpu.graph.ir import _const_key
         key = _const_key(tensor)
         assert key in self._consts, "tensor is not a bound constant"
         self._consts[key] = jnp.asarray(new_data)
+        self._refresh_zp_wsum(tensor, new_data)
+
+    def _refresh_zp_wsum(self, tensor: Tensor, new_data):
+        import numpy as np
+        from csinn2_tpu.graph.ir import _const_key
+        from csinn2_tpu.kernels.qconv import precompute_zp_wsum
+        from csinn2_tpu.ops.api import _w_layout
+        for node in self.graph.nodes:
+            if not node.inputs or len(node.inputs) < 2:
+                continue
+            last = node.inputs[-1]
+            if not isinstance(last, Tensor) or \
+                    getattr(last.meta, "name", "") != "__zp_wsum__":
+                continue
+            if any(t is tensor for t in node.inputs[:-1]):
+                wsum = precompute_zp_wsum(np.asarray(new_data),
+                                          w_layout=_w_layout(node.inputs[1]))
+                skey = _const_key(last)
+                if skey in self._consts:
+                    self._consts[skey] = jnp.asarray(wsum)
 
     # -- introspection -------------------------------------------------------
 
