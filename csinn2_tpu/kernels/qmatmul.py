@@ -377,6 +377,14 @@ def quant_matmul(x, w_q, scales=None, bias=None, *, scale_mode: str = "channel",
         # needs to be a multiple of 128 or cover the whole K/32 axis
         if (bk // BLOCK) % 128 != 0 and bk < K:
             bk = min(_round_up(K, 128), 128 * BLOCK)
+    elif scale_mode == "block" and (bk // BLOCK) % 8:
+        # same for the [bk/32, bn] scales block's SUBLANE dim: multiple of 8,
+        # or cover the whole K/32 axis (hit at small-model K, e.g. K=768
+        # picked bk=384 -> 12 sublanes, not lowerable)
+        Kr = _round_up(K, 128)
+        cands = [d for d in range(256, Kr + 1, 256) if Kr % d == 0]
+        fit = [d for d in cands if d <= bk]
+        bk = max(fit) if fit else Kr
     Mp, Kp, Np = _round_up(M, bm), _round_up(K, bk), _round_up(N, bn)
 
     x = jnp.pad(x, ((0, Mp - M), (0, Kp - K))) if (Mp != M or Kp != K) else x
