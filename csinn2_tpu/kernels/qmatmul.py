@@ -290,6 +290,7 @@ def quant_matmul(x, w_q, scales=None, bias=None, *, scale_mode: str = "channel",
           the dot runs s8×s8→s32 on the integer pipe (bit-exact, ~2× bf16).
     """
     M, K = x.shape
+    native4 = w_q.dtype == jnp.dtype("int4")
     if w_transposed:
         N = w_q.shape[0]
         K2 = 2 * w_q.shape[1] if packed_int4 else w_q.shape[1]
@@ -299,6 +300,31 @@ def quant_matmul(x, w_q, scales=None, bias=None, *, scale_mode: str = "channel",
         K2, N = w_q.shape
     assert K == K2, (x.shape, w_q.shape, packed_int4, w_transposed)
 
+    if native4 and (bm is None or bn is None or bk is None) and M <= 16 \
+            and not w_transposed and not packed_int4:
+        # int4-native decode tiles, measured on v5e at the 7B/13B decode
+        # shapes (examples/int4_tile_tune.py / int4_dequant_probe.py):
+        # Mosaic's hardware sub-byte unpack makes the S4 [K, N] carrier the
+        # fastest dequant pipeline (77-88% of the int4 weight-read SOL vs
+        # 51-58% for every manual nibble form — split-dot, AND-mask planes,
+        # W4A8 block-diag int-MXU all bottleneck on per-value VPU work).
+        # Winning tiles keep the bf16 compute plane (2*bk*bn B) at 4-6.5 MiB:
+        #   small weights (<=~8.5 MiB packed): full-N, bk ~512
+        #   else deep-K (bk 1024) with bn ~2-3k; if N's divisors are sparse
+        #   (22016-style), wide-N shallow-K (bk 256) wins instead.
+        bm = bm or 8
+        Nr, Kr = _round_up(N, 128), _round_up(K, 128)
+        if Kr * Nr <= 17 * 2**20:
+            bn = bn or Nr
+            bk = bk or _pick_tile(
+                Kr, max(256, (11 * 2**20) // (4 * Nr) // 128 * 128))
+        else:
+            bk = bk or _pick_tile(Kr, 1024)
+            if bn is None:
+                bn = _pick_tile(Nr, max(2048, (13 * 2**20) // (4 * bk)))
+                if bn < 2048:
+                    bk = _pick_tile(Kr, 256)
+                    bn = _pick_tile(Nr, (13 * 2**20) // (4 * bk))
     if bm is None or bn is None or bk is None:
         if M <= 16:
             # decode shapes are weight-read-bound: WIDE-N tiles make every
@@ -349,7 +375,8 @@ def quant_matmul(x, w_q, scales=None, bias=None, *, scale_mode: str = "channel",
             # burst.  Tiles must divide the 128-rounded dims (see _pick_tile)
             # and the double-buffered working set must fit ~16 MiB VMEM.
             bm = bm or min(256, _round_up(M, 8))
-            wbytes = 2.0 if packed_int4 else 1.0   # compute footprint (see above)
+            # compute footprint (see above): sub-byte carriers expand to bf16
+            wbytes = 2.0 if (packed_int4 or native4) else 1.0
             Nr, Kr = _round_up(N, 128), _round_up(K, 128)
             bn_auto = bn is None
             if bn is None:
@@ -489,7 +516,8 @@ def quant_matmul(x, w_q, scales=None, bias=None, *, scale_mode: str = "channel",
         qclip = (float(info.min), float(info.max))
 
     flops = 2 * Mp * Np * Kp
-    bytes_accessed = (x.size * x.dtype.itemsize + w_q.size * w_q.dtype.itemsize
+    w_bytes = w_q.size // 2 if native4 else w_q.size * w_q.dtype.itemsize
+    bytes_accessed = (x.size * x.dtype.itemsize + w_bytes
                       + Mp * Np * jnp.dtype(out_dtype).itemsize)
 
     out = pl.pallas_call(

@@ -91,7 +91,7 @@ class InferenceEngine:
     def __init__(self, cfg: LlamaConfig, params, batch: int = 1,
                  quantized_kv: bool = False, kv_scale: float = 0.05,
                  use_pallas: Optional[bool] = None, fuse_weights: bool = True,
-                 mesh=None):
+                 mesh=None, native_int4: Optional[bool] = None):
         """mesh: optional jax.sharding.Mesh with ("dp", "tp") axes —
         TP-composed serving (BASELINE config 5): weights/cache/decode are
         sharded and every engine phase runs under shard_map (so the Pallas
@@ -133,6 +133,17 @@ class InferenceEngine:
             lcfg = local_config(cfg, tp)
             tp_axis = "tp"
         self.params = params
+
+        # int4 decode: unpack the packed carrier to native jnp.int4 [K, N]
+        # at the top of every multi-step executable (S4 can't cross jit
+        # boundaries on this backend — see model.native4_params).  Measured
+        # 73-88% of int4 weight-read SOL vs 51-58% for the packed split-dot.
+        from csinn2_tpu.llm.model import has_int4, native4_params
+        _on_tpu = use_pallas if use_pallas is not None \
+            else jax.default_backend() == "tpu"
+        self._native4 = bool(_on_tpu and mesh is None and has_int4(params)) \
+            if native_int4 is None else bool(native_int4)
+        _n4 = native4_params if self._native4 else (lambda p: p)
 
         cfg_static = lcfg
 
@@ -187,6 +198,8 @@ class InferenceEngine:
             token, llm_run, source/llm/llm.c:152-181): zero host↔device
             traffic until the chunk is done."""
             from csinn2_tpu.llm.sampling import sample_logits
+
+            params = _n4(params)      # once per executable, before the scan
 
             def body(carry, _):
                 tok, pos, cache, key = carry
@@ -575,12 +588,17 @@ class InferenceEngine:
             kshape, kdt = self.cache.k.shape, self.cache.k.dtype
             vshape, vdt = self.cache.v.shape, self.cache.v.dtype
 
+            from csinn2_tpu.llm.model import native4_params
+            native4 = self._native4
+
             @jax.jit
             def looped(n, params):
                 # the benchmark KV cache is allocated INSIDE the jit: it
                 # lives only in this executable's frame, so the engine's
                 # persistent cache is not duplicated (at 7B bs8/S=1024 the
                 # two copies of a passed-in carry OOM'd the chip)
+                if native4:
+                    params = native4_params(params)   # once, outside the loop
                 k = jnp.zeros(kshape, kdt)
                 v = jnp.zeros(vshape, vdt)
                 toks = jnp.ones((self.batch,), jnp.int32)

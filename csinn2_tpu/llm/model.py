@@ -111,6 +111,73 @@ def _maybe_pack(qw: QWeight) -> QWeight:
                    mode=qw.mode, packed=True)
 
 
+def native4_params(obj, *, pad_k_to: int = 1024, max_pad_frac: float = 0.04):
+    """Convert int4-mode QWeights (packed [K/2, N] int8 or unpacked int8
+    carrier) to NATIVE jnp.int4 [K, N] arrays for the TPU decode path.
+
+    Measured on v5e (examples/int4_dequant_probe.py / int4_tile_tune.py):
+    Mosaic's hardware sub-byte unpack on S4 loads reaches 73-88% of the int4
+    weight-read SOL at the 7B decode shapes, where every manual nibble
+    pipeline (split-dot, AND-mask planes, W4A8 block-diag integer-MXU) sits
+    at 51-58% — those all bottleneck on per-value VPU work (extract + cast +
+    scale ≈ 2 lane-ops/value ≈ 2x the int4 byte-read time), which the native
+    load path avoids.
+
+    MUST run INSIDE a jit, at the top of a multi-step executable (before the
+    decode lax.scan/fori_loop), because S4 arrays cannot cross jit/host
+    boundaries on this backend (device_put relayout of S4 is unimplemented).
+    The one-time unpack cost (~1.5x a single weight read) amortizes over the
+    steps in the executable; storage formats (CTBM/GGUF) keep the packed
+    int8 carrier unchanged.
+
+    K is zero-padded up to a multiple of `pad_k_to` when the overhead is
+    under `max_pad_frac` (e.g. 7B w2: K=11008 -> 11264, +2.3% bytes) so the
+    kernel gets deep-K divisor tiles; `linear` pads the matching activation.
+    Works on a QWeight, a params dict, or any pytree containing QWeights.
+    (ref: the C920 rearranged-weight AOT prepack this replaces,
+    source/c920_opt/fp16/matmul_fp16.c:408-414.)"""
+    from csinn2_tpu.kernels.qmatmul import unpack_int4
+
+    def conv(qw):
+        if not isinstance(qw, QWeight) or qw.mode not in (INT4_CHANNEL, Q4_0):
+            return qw
+        v = qw.values
+        if v.dtype == jnp.dtype("int4"):
+            return qw
+        if qw.packed:
+            K2 = 2 * v.shape[-2]
+            if v.ndim == 2:
+                v = unpack_int4(v, K2)
+            else:
+                v = jax.vmap(lambda a: unpack_int4(a, K2))(v)
+        K = v.shape[-2]
+        s = qw.scales
+        Kp = -(-K // pad_k_to) * pad_k_to
+        if K % pad_k_to and (Kp - K) / K <= max_pad_frac and K > 2048:
+            pad = [(0, 0)] * (v.ndim - 2) + [(0, Kp - K), (0, 0)]
+            v = jnp.pad(v, pad)
+            if s is not None and qw.mode == Q4_0:
+                spad = [(0, 0)] * (s.ndim - 2) + [(0, (Kp - K) // 32), (0, 0)]
+                s = jnp.pad(s, spad)
+        return QWeight(values=v.astype(jnp.int4), scales=s, mode=qw.mode,
+                       packed=False)
+
+    if isinstance(obj, QWeight):
+        return conv(obj)
+    return jax.tree_util.tree_map(conv, obj,
+                                  is_leaf=lambda x: isinstance(x, QWeight))
+
+
+def has_int4(obj) -> bool:
+    """True if any QWeight in the pytree uses an int4 mode."""
+    found = []
+    jax.tree_util.tree_map(
+        lambda q: found.append(q.mode in (INT4_CHANNEL, Q4_0))
+        if isinstance(q, QWeight) else None,
+        obj, is_leaf=lambda x: isinstance(x, QWeight))
+    return any(found)
+
+
 def qweight_concat(qws, tp: int = 1) -> QWeight:
     """Concatenate QWeights along the output (N) axis — same K/mode/packing.
     Used to fuse wq|wk|wv and w1|w3 into single dequant-GEMMs: at decode the
@@ -168,6 +235,12 @@ def linear(x, qw: QWeight, *, use_pallas: Optional[bool] = None):
         out = jnp.matmul(x2.astype(jnp.bfloat16), qw.values,
                          preferred_element_type=jnp.float32)
     else:
+        Kw = qw.shape[-2]
+        if Kw > K:
+            # int4-native weights are K-padded at prepack (to_native_int4) so
+            # the decode kernel gets divisor-friendly deep-K tiles without an
+            # in-jit weight copy; pad the (tiny) activation to match
+            x2 = jnp.pad(x2, ((0, 0), (0, Kw - K)))
         scale_mode = "channel" if qw.mode in (INT8_CHANNEL, INT4_CHANNEL) else "block"
         fn = quant_matmul if use_pallas else quant_matmul_ref
         out = fn(x2, qw.values, qw.scales, scale_mode=scale_mode,

@@ -133,6 +133,20 @@ def test_tp_quantized_weights(fparams):
     assert r.cosine_sim > 0.999, r
 
 
+def test_engine_native_int4_matches_packed(fparams):
+    """The native-S4 decode path (in-jit unpack before the scan) is
+    value-identical to the packed split-dot path — same int4 values, same
+    scales, only the carrier layout differs."""
+    from csinn2_tpu.llm.model import quantize_params
+    qparams = quantize_params(fparams, Q4_0)
+    prompt = [3, 1, 4, 1, 5]
+    o_n4 = InferenceEngine(CFG, qparams, batch=1, native_int4=True) \
+        .generate_fused(prompt, max_new_tokens=12)
+    o_pk = InferenceEngine(CFG, qparams, batch=1, native_int4=False) \
+        .generate_fused(prompt, max_new_tokens=12)
+    assert list(o_n4) == list(o_pk), (o_n4, o_pk)
+
+
 def test_generate_fused_matches_stepwise(fparams):
     """lax.scan fused decode must produce the same greedy tokens as the
     per-step dispatch path."""
