@@ -201,11 +201,12 @@ def decode_attention(q, k, v, *, q_offset, kv_len=None,
 
 
 @functools.partial(jax.jit, static_argnames=("causal", "scale", "blk_q",
-                                             "blk_k", "interpret", "kv_scale"))
+                                             "blk_k", "interpret", "kv_scale",
+                                             "qo_layout"))
 def flash_attention(q, k, v, *, causal: bool = True, q_offset=0, kv_len=None,
                     scale: Optional[float] = None, blk_q: int = 256,
                     blk_k: int = 512, kv_scale: Optional[float] = None,
-                    interpret: bool = False):
+                    interpret: bool = False, qo_layout: str = "bhsd"):
     """q: [b, hq, sq, d]; k/v: [b, hk, sk, d] (hq % hk == 0) → [b, hq, sq, d].
 
     q_offset (dynamic ok): positions in the KV prefix ahead of q (decode);
@@ -214,8 +215,18 @@ def flash_attention(q, k, v, *, causal: bool = True, q_offset=0, kv_len=None,
     kv_len (dynamic ok): valid KV entries (static cache may be longer);
                          scalar or [b]; defaults to sk.
     kv_scale: per-tensor dequant scale when k/v are int8 carriers.
+    qo_layout="bshd": q is [b, sq, hq, d] and the output is returned in the
+        same activation layout — heads are flattened into the LANE axis
+        ([b, sqp, hq*dp], free reshape) and each grid step's BlockSpec picks
+        lane-block h%hq, so the head permute rides the DMA and the caller
+        never materializes transposed q/out (those two [b,s,h,d] transposes
+        measured 6.4 us x2 per 7B prefill layer, examples/ttft_profile.py).
     """
-    b, hq, sq, d = q.shape
+    bshd = qo_layout == "bshd"
+    if bshd:
+        b, sq, hq, d = q.shape
+    else:
+        b, hq, sq, d = q.shape
     _, hk, sk, _ = k.shape
     assert hq % hk == 0
     group = hq // hk
@@ -229,12 +240,16 @@ def flash_attention(q, k, v, *, causal: bool = True, q_offset=0, kv_len=None,
     sqp, skp = _round_up(sq, blk_q), _round_up(sk, blk_k)
     dp = _round_up(d, 128)
 
-    qp = jnp.pad(q, ((0, 0), (0, 0), (0, sqp - sq), (0, dp - d)))
+    if bshd:
+        q3 = jnp.pad(q, ((0, 0), (0, sqp - sq), (0, 0), (0, dp - d))) \
+            .reshape(b, sqp, hq * dp)
+    else:
+        qp = jnp.pad(q, ((0, 0), (0, 0), (0, sqp - sq), (0, dp - d)))
+        q3 = qp.reshape(b * hq, sqp, dp)
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, skp - sk), (0, dp - d)))
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, skp - sk), (0, dp - d)))
 
     bh = b * hq
-    q3 = qp.reshape(bh, sqp, dp)
     k3 = kp.reshape(b * hk, skp, dp)
     v3 = vp.reshape(b * hk, skp, dp)
     off = jnp.broadcast_to(jnp.asarray(q_offset, jnp.int32).reshape(-1), (b,))
@@ -249,22 +264,35 @@ def flash_attention(q, k, v, *, causal: bool = True, q_offset=0, kv_len=None,
         _attn_kernel, scale=scale, causal=causal, blk_k=blk_k, n_kb=n_kb,
         kv_scale=kv_scale, hq=hq)
 
+    if bshd:
+        q_spec = pl.BlockSpec((1, blk_q, dp),
+                              lambda h, qb, kb, _h=hq: (h // _h, qb, h % _h),
+                              memory_space=pltpu.VMEM)
+        o_spec = pl.BlockSpec((1, blk_q, dp),
+                              lambda h, qb, kb, _h=hq: (h // _h, qb, h % _h),
+                              memory_space=pltpu.VMEM)
+        o_shape = jax.ShapeDtypeStruct((b, sqp, hq * dp), q.dtype)
+    else:
+        q_spec = pl.BlockSpec((1, blk_q, dp), lambda h, qb, kb: (h, qb, 0),
+                              memory_space=pltpu.VMEM)
+        o_spec = pl.BlockSpec((1, blk_q, dp), lambda h, qb, kb: (h, qb, 0),
+                              memory_space=pltpu.VMEM)
+        o_shape = jax.ShapeDtypeStruct((bh, sqp, dp), q.dtype)
+
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((b, 2), lambda h, qb, kb: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, blk_q, dp), lambda h, qb, kb: (h, qb, 0),
-                         memory_space=pltpu.VMEM),
+            q_spec,
             pl.BlockSpec((1, blk_k, dp), lambda h, qb, kb, _g=group: (h // _g, kb, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, blk_k, dp), lambda h, qb, kb, _g=group: (h // _g, kb, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, blk_q, dp), lambda h, qb, kb: (h, qb, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, sqp, dp), q.dtype),
+        out_specs=o_spec,
+        out_shape=o_shape,
         scratch_shapes=[
             pltpu.VMEM((blk_q, 1), jnp.float32),    # running max m
             pltpu.VMEM((blk_q, 1), jnp.float32),    # running sum l
@@ -281,4 +309,6 @@ def flash_attention(q, k, v, *, causal: bool = True, q_offset=0, kv_len=None,
         interpret=interpret,
     )(lens, q3, k3, v3)
 
+    if bshd:
+        return out.reshape(b, sqp, hq, dp)[:, :sq, :, :d]
     return out.reshape(b, hq, sqp, dp)[:, :, :sq, :d]

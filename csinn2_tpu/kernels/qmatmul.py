@@ -118,7 +118,8 @@ def _kernel(x_ref, w_ref, s_ref, b_ref, out_ref, acc_ref, *, scale_mode: str,
             packed_int4: bool = False, bk: int = 0, bn: int = 0,
             w_transposed: bool = False, int_dot: bool = False,
             has_bias: bool = False, out_zp: float = 0.0,
-            qclip=None, deq: str = "repeat", split_x: bool = False):
+            qclip=None, deq: str = "repeat", split_x: bool = False,
+            swiglu: bool = False):
     """One (BM, BN) output tile; grid = (M/BM, N/BN, K/BK), K innermost.
 
     w_transposed: the weight is prepacked [N, K] ("rearranged" layout, the
@@ -252,6 +253,14 @@ def _kernel(x_ref, w_ref, s_ref, b_ref, out_ref, acc_ref, *, scale_mode: str,
             acc = acc + b_ref[:].astype(jnp.float32)
         if qclip is not None:
             acc = jnp.clip(jnp.round(acc) + out_zp, qclip[0], qclip[1])
+        if swiglu:
+            # 128-lane pair-interleaved fused w1|w3 (llm.model swiglu128):
+            # even lane-groups hold h1, odd hold h3 — silu(h1)*h3 in-register
+            bm_ = acc.shape[0]
+            a = acc.reshape(bm_, bn // 256, 2, 128)
+            h1 = a[:, :, 0, :]
+            h3 = a[:, :, 1, :]
+            acc = (h1 * jax.lax.logistic(h1) * h3).reshape(bm_, bn // 2)
         out_ref[:] = acc.astype(out_dtype)
 
 
@@ -259,7 +268,7 @@ def _kernel(x_ref, w_ref, s_ref, b_ref, out_ref, acc_ref, *, scale_mode: str,
     jax.jit,
     static_argnames=("scale_mode", "out_dtype", "epilogue_scale", "bm", "bn",
                      "bk", "interpret", "packed_int4", "w_transposed",
-                     "out_zp", "deq"),
+                     "out_zp", "deq", "swiglu"),
 )
 def quant_matmul(x, w_q, scales=None, bias=None, *, scale_mode: str = "channel",
                  out_dtype=jnp.float32, epilogue_scale: Optional[float] = None,
@@ -267,7 +276,7 @@ def quant_matmul(x, w_q, scales=None, bias=None, *, scale_mode: str = "channel",
                  bk: Optional[int] = None,
                  interpret: bool = False, packed_int4: bool = False,
                  w_transposed: bool = False, out_zp: float = 0.0,
-                 deq: str = "repeat"):
+                 deq: str = "repeat", swiglu: bool = False):
     """y[M,N] = (x[M,K] · dequant(w_q)) * epilogue_scale + bias.
 
     x: float (bf16/f32) or int8 carrier (converted exactly to bf16).
@@ -399,6 +408,22 @@ def quant_matmul(x, w_q, scales=None, bias=None, *, scale_mode: str = "channel",
     bk = min(bk, _round_up(K, 128))
     if packed_int4:
         assert K % BLOCK == 0 and bk % BLOCK == 0, (K, bk)
+    if swiglu:
+        # pair-interleaved fused w1|w3 (swiglu128): every output tile must
+        # hold whole 256-lane pairs, and the halved out tile stays 128-mult
+        assert N % 256 == 0, N
+        if bn % 256:
+            Nr = _round_up(N, 256)
+            cands = [d for d in range(256, Nr + 1, 256) if Nr % d == 0]
+            fit = [d for d in cands if d <= bn]
+            bn = max(fit) if fit else Nr
+        # the silu(h1)*h3 epilogue holds several [bm, bn]-sized f32
+        # intermediates on the Mosaic stack on top of the GEMM pipeline —
+        # cap the tile area (2816x512 at 7B prefill still ran out of VMEM;
+        # 2816x256 / 2048x512 compile and run)
+        Kr = _round_up(K, 128)
+        while bn * bk > 2**20 and bk > 256:
+            bk = _pick_tile(Kr, bk // 2)
     if w_transposed and scale_mode == "block":
         # the [bn, bk/32] scales block must itself be lowerable: its last dim
         # needs to be a multiple of 128 or cover the whole K/32 axis
@@ -514,6 +539,8 @@ def quant_matmul(x, w_q, scales=None, bias=None, *, scale_mode: str = "channel",
     if jnp.issubdtype(odt, jnp.integer) and odt != jnp.int32:
         info = jnp.iinfo(odt)
         qclip = (float(info.min), float(info.max))
+    assert not (swiglu and qclip is not None), \
+        "swiglu epilogue is float-only (no integer requantize output)"
 
     flops = 2 * Mp * Np * Kp
     w_bytes = w_q.size // 2 if native4 else w_q.size * w_q.dtype.itemsize
@@ -526,12 +553,14 @@ def quant_matmul(x, w_q, scales=None, bias=None, *, scale_mode: str = "channel",
                           packed_int4=packed_int4, bk=bk, bn=bn,
                           w_transposed=w_transposed, int_dot=int_dot,
                           has_bias=has_bias, out_zp=out_zp, qclip=qclip,
-                          deq=deq, split_x=split_x),
+                          deq=deq, split_x=split_x, swiglu=swiglu),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
+        out_specs=pl.BlockSpec((bm, bn // 2) if swiglu else (bm, bn),
+                               lambda i, j, k: (i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (Mp, Np // 2) if swiglu else (Mp, Np), out_dtype),
         scratch_shapes=[pltpu.VMEM((bm, bn),
                                    jnp.int32 if int_dot else jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -542,13 +571,15 @@ def quant_matmul(x, w_q, scales=None, bias=None, *, scale_mode: str = "channel",
         interpret=interpret,
     )(*args)
 
+    if swiglu:
+        return out[:M, :N // 2]
     return out[:M, :N]
 
 
 def quant_matmul_ref(x, w_q, scales=None, bias=None, *, scale_mode="channel",
                      out_dtype=jnp.float32, epilogue_scale=None,
                      packed_int4: bool = False, w_transposed: bool = False,
-                     out_zp: float = 0.0):
+                     out_zp: float = 0.0, swiglu: bool = False):
     """Plain-XLA reference of the same contraction (for tests and CPU)."""
     x = jnp.asarray(x, jnp.float32)
     if w_transposed:
@@ -576,6 +607,10 @@ def quant_matmul_ref(x, w_q, scales=None, bias=None, *, scale_mode="channel",
         acc = acc * epilogue_scale
     if bias is not None:
         acc = acc + jnp.asarray(bias, jnp.float32)
+    if swiglu:
+        M, N = acc.shape
+        a = acc.reshape(M, N // 256, 2, 128)
+        acc = (jax.nn.silu(a[:, :, 0, :]) * a[:, :, 1, :]).reshape(M, N // 2)
     odt = jnp.dtype(out_dtype)
     if jnp.issubdtype(odt, jnp.integer) and odt != jnp.int32:
         info = jnp.iinfo(odt)

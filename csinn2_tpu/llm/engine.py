@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import time
 from typing import Dict, List, Optional, Sequence
 
@@ -138,11 +139,28 @@ class InferenceEngine:
         # at the top of every multi-step executable (S4 can't cross jit
         # boundaries on this backend — see model.native4_params).  Measured
         # 73-88% of int4 weight-read SOL vs 51-58% for the packed split-dot.
-        from csinn2_tpu.llm.model import has_int4, native4_params
+        from csinn2_tpu.llm.model import QWeight, has_int4, native4_params
         _on_tpu = use_pallas if use_pallas is not None \
             else jax.default_backend() == "tpu"
-        self._native4 = bool(_on_tpu and mesh is None and has_int4(params)) \
-            if native_int4 is None else bool(native_int4)
+        if native_int4 is None:
+            # the in-jit S4 copy doubles the int4 carrier bytes for the
+            # lifetime of the executable; skip when weights + copy + KV
+            # would overflow HBM (13B q4_0: 8.1 GB params + 6.5 GB copy
+            # OOMs a 16 GB v5e — it stays on the packed split-dot path)
+            budget = float(os.environ.get("CSINN2_NATIVE4_BUDGET_GB", "13"))
+            leaves = jax.tree_util.tree_leaves(params)
+            total_b = sum(l.size * l.dtype.itemsize for l in leaves
+                          if hasattr(l, "dtype"))
+            int4_b = sum(
+                q.values.size * q.values.dtype.itemsize
+                for q in jax.tree_util.tree_leaves(
+                    params, is_leaf=lambda x: isinstance(x, QWeight))
+                if isinstance(q, QWeight) and q.mode in ("int4", "q4_0"))
+            fits = (total_b + int4_b) <= budget * 2**30
+            self._native4 = bool(_on_tpu and mesh is None
+                                 and has_int4(params) and fits)
+        else:
+            self._native4 = bool(native_int4)
         _n4 = native4_params if self._native4 else (lambda p: p)
 
         cfg_static = lcfg
@@ -701,19 +719,26 @@ def _batched_decode_forward(params, tokens, cache, pos_vec, cfg, use_pallas,
 
     hq, hk, dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     D = hq * dh                  # local attn width (== cfg.dim when tp == 1)
+    # per-row RoPE trig depends only on pos_vec — one evaluation, all layers
+    from csinn2_tpu.llm.model import rope_tables
+    rtabs = rope_tables(pos_vec[:, None], dh, cfg.rope_base)
     for i, lp in enumerate(params["layers"]):
         h = rms_norm(x, lp["attn_norm"], cfg.norm_eps).astype(jnp.bfloat16)
         if "wqkv" in lp:
-            qkv = linear(h, lp["wqkv"], use_pallas=use_pallas)
+            qkv = linear(h, lp["wqkv"], use_pallas=use_pallas,
+                         out_dtype=jnp.bfloat16)
             q = qkv[..., :hq * dh].reshape(b, 1, hq, dh)
             k = qkv[..., hq * dh:(hq + hk) * dh].reshape(b, 1, hk, dh)
             v = qkv[..., (hq + hk) * dh:].reshape(b, 1, hk, dh)
         else:
-            q = linear(h, lp["wq"], use_pallas=use_pallas).reshape(b, 1, hq, dh)
-            k = linear(h, lp["wk"], use_pallas=use_pallas).reshape(b, 1, hk, dh)
-            v = linear(h, lp["wv"], use_pallas=use_pallas).reshape(b, 1, hk, dh)
-        q = rope_rotate(q, pos_vec[:, None], cfg.rope_base)
-        k = rope_rotate(k, pos_vec[:, None], cfg.rope_base)
+            q = linear(h, lp["wq"], use_pallas=use_pallas,
+                       out_dtype=jnp.bfloat16).reshape(b, 1, hq, dh)
+            k = linear(h, lp["wk"], use_pallas=use_pallas,
+                       out_dtype=jnp.bfloat16).reshape(b, 1, hk, dh)
+            v = linear(h, lp["wv"], use_pallas=use_pallas,
+                       out_dtype=jnp.bfloat16).reshape(b, 1, hk, dh)
+        q = rope_rotate(q, pos_vec[:, None], cfg.rope_base, tables=rtabs)
+        k = rope_rotate(k, pos_vec[:, None], cfg.rope_base, tables=rtabs)
         cache = store_rows(cache, i, k, v)
 
         k_all = cache.k[i]                                # [b, S, hk, dh]

@@ -42,15 +42,21 @@ class QWeight:
     scales: Any = None          # None | f32 [N] | f32 [K/32, N]
     mode: str = FLOAT
     packed: bool = False        # int4 nibble-packed values (2 weights/byte)
+    layout: str = "plain"       # "plain" | "swiglu128" (w1/w3 128-lane pairs)
 
     def tree_flatten(self):
-        return (self.values, self.scales), (self.mode, self.packed)
+        return (self.values, self.scales), (self.mode, self.packed,
+                                            self.layout)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        mode, packed = aux if isinstance(aux, tuple) else (aux, False)
+        if isinstance(aux, tuple):
+            mode, packed = aux[0], aux[1]
+            layout = aux[2] if len(aux) > 2 else "plain"
+        else:
+            mode, packed, layout = aux, False, "plain"
         return cls(values=children[0], scales=children[1], mode=mode,
-                   packed=packed)
+                   packed=packed, layout=layout)
 
     @property
     def shape(self):
@@ -160,7 +166,7 @@ def native4_params(obj, *, pad_k_to: int = 1024, max_pad_frac: float = 0.04):
                 spad = [(0, 0)] * (s.ndim - 2) + [(0, (Kp - K) // 32), (0, 0)]
                 s = jnp.pad(s, spad)
         return QWeight(values=v.astype(jnp.int4), scales=s, mode=qw.mode,
-                       packed=False)
+                       packed=False, layout=qw.layout)
 
     if isinstance(obj, QWeight):
         return conv(obj)
@@ -204,16 +210,89 @@ def qweight_concat(qws, tp: int = 1) -> QWeight:
     return QWeight(values=vals, scales=scales, mode=m0.mode, packed=m0.packed)
 
 
+def _pad_cols(a, Fp):
+    if a is None or a.shape[-1] == Fp:
+        return a
+    return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, Fp - a.shape[-1])])
+
+
+def _pad_rows_qw(qw: QWeight, Kp: int) -> QWeight:
+    """Zero-pad a QWeight's K (contraction) dim to Kp at PREPACK time —
+    zero rows contribute nothing; `linear` pads the activation to match."""
+    K = qw.shape[-2]
+    if K == Kp:
+        return qw
+    v = qw.values
+    rows = (Kp - K) // 2 if qw.packed else Kp - K
+    v = jnp.pad(v, [(0, 0)] * (v.ndim - 2) + [(0, rows), (0, 0)])
+    s = qw.scales
+    if s is not None and s.ndim >= 2 and s.shape[-2] == K // BLOCK_SIZE:
+        s = jnp.pad(s, [(0, 0)] * (s.ndim - 2)
+                    + [(0, (Kp - K) // BLOCK_SIZE), (0, 0)])
+    return QWeight(values=v, scales=s, mode=qw.mode, packed=qw.packed,
+                   layout=qw.layout)
+
+
+def qweight_concat_swiglu(w1: QWeight, w3: QWeight,
+                          pad_to: int = 512) -> QWeight:
+    """Fuse w1|w3 in 128-lane PAIR-interleaved column order:
+    [w1[:, 0:128] | w3[:, 0:128] | w1[:, 128:256] | w3[:, 128:256] | ...] so
+    a GEMM output tile always holds both halves of each SwiGLU pair in
+    adjacent 128-lane groups — the silu(h1)*h3 epilogue then runs inside the
+    kernel (quant_matmul swiglu=True) and the [M, 2F] f32 h13 intermediate
+    never round-trips HBM (~22 MB/layer at 7B prefill s=128; the r4 unfused
+    tail measured as part of the 4.6 ms non-GEMM TTFT remainder).
+
+    F is zero-padded to a multiple of `pad_to` so the fused 2F axis has
+    256-aligned divisor tiles (7B F=11008 -> 11264: without the pad the only
+    256-aligned divisors of 22016 are 512/11008 and the kernel fell to a
+    narrow-N tile, measured +6 ms TTFT).  silu(0)*0 = 0 in the tail;
+    fuse_layer_weights pads w2's K to match."""
+    m0 = w1
+    assert w3.mode == m0.mode and w3.packed == m0.packed
+    F = w1.shape[-1]
+    assert F % 128 == 0 and w3.shape[-1] == F
+    Fp = -(-F // pad_to) * pad_to
+
+    def pair(a, b):
+        # [..., F] x2 -> [..., 2Fp] with 128-col pair interleave
+        a, b = _pad_cols(a, Fp), _pad_cols(b, Fp)
+        g = Fp // 128
+        ar = a.reshape(*a.shape[:-1], g, 128)
+        br = b.reshape(*b.shape[:-1], g, 128)
+        return jnp.stack([ar, br], axis=-2).reshape(*a.shape[:-1], 2 * Fp)
+
+    vals = pair(w1.values, w3.values)
+    scales = None if m0.scales is None else pair(w1.scales, w3.scales)
+    return QWeight(values=vals, scales=scales, mode=m0.mode,
+                   packed=m0.packed, layout="swiglu128")
+
+
 def fuse_layer_weights(lp: Dict, tp: int = 1) -> Dict:
     """Derived per-layer weights: wqkv = [wq|wk|wv], w13 = [w1|w3]
     (dense FFN only).  attention_block/ffn_block use them when present.
-    tp > 1 interleaves the fused axis per tp-shard (see qweight_concat)."""
+    tp > 1 interleaves the fused axis per tp-shard (see qweight_concat).
+    At tp == 1 with 128-aligned F, w13 uses the swiglu128 pair layout so the
+    SwiGLU product fuses into the GEMM epilogue (qweight_concat_swiglu)."""
     out = dict(lp)
     if all(k in lp for k in ("wq", "wk", "wv")):
         out["wqkv"] = qweight_concat([lp["wq"], lp["wk"], lp["wv"]], tp=tp)
         out.pop("wq"), out.pop("wk"), out.pop("wv")
     if "w1" in lp and "w3" in lp and "gate" not in lp:
-        out["w13"] = qweight_concat([lp["w1"], lp["w3"]], tp=tp)
+        # swiglu128 in-kernel fusion is a MEASURED NEGATIVE at 7B prefill
+        # (v5e): the fused GEMM runs 100-104 TF vs 140-152 TF unfused — the
+        # pair-slicing epilogue breaks Mosaic's GEMM pipelining, costing
+        # +60 us/layer against the ~25 us/layer h13 round-trip it saves.
+        # Kept opt-in (CSINN2_SWIGLU_FUSE=1) with correctness tests.
+        import os
+        if (tp == 1 and lp["w1"].shape[-1] % 128 == 0
+                and os.environ.get("CSINN2_SWIGLU_FUSE") == "1"):
+            out["w13"] = qweight_concat_swiglu(lp["w1"], lp["w3"])
+            Fp = out["w13"].shape[-1] // 2
+            if Fp != lp["w1"].shape[-1]:
+                out["w2"] = _pad_rows_qw(lp["w2"], Fp)
+        else:
+            out["w13"] = qweight_concat([lp["w1"], lp["w3"]], tp=tp)
         out.pop("w1"), out.pop("w3")
     return out
 
@@ -223,17 +302,29 @@ def fuse_params(params: Dict, tp: int = 1) -> Dict:
             "layers": [fuse_layer_weights(lp, tp=tp) for lp in params["layers"]]}
 
 
-def linear(x, qw: QWeight, *, use_pallas: Optional[bool] = None):
-    """y = x @ dequant(qw); x [..., K] floats."""
+def linear(x, qw: QWeight, *, use_pallas: Optional[bool] = None,
+           out_dtype=jnp.float32, swiglu: bool = False):
+    """y = x @ dequant(qw); x [..., K] floats.  out_dtype=bf16 for internal
+    activations halves the GEMM-output HBM traffic (the f32 accumulator is
+    cast in the kernel epilogue; downstream consumers re-cast to bf16
+    anyway) — keep f32 for the lm_head/logits.
+
+    swiglu=True (qw.layout == "swiglu128"): the kernel epilogue computes
+    silu(h1)*h3 over the pair-interleaved fused w1|w3 columns and returns
+    [..., N/2] without materializing h13."""
     from csinn2_tpu.kernels.qmatmul import quant_matmul, quant_matmul_ref
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
+    N_out = qw.shape[-1] // 2 if swiglu else qw.shape[-1]
     if qw.mode == FLOAT:
         out = jnp.matmul(x2.astype(jnp.bfloat16), qw.values,
                          preferred_element_type=jnp.float32)
+        if swiglu:
+            out = _swiglu_pairs(out)
+        out = out.astype(out_dtype)
     else:
         Kw = qw.shape[-2]
         if Kw > K:
@@ -244,8 +335,15 @@ def linear(x, qw: QWeight, *, use_pallas: Optional[bool] = None):
         scale_mode = "channel" if qw.mode in (INT8_CHANNEL, INT4_CHANNEL) else "block"
         fn = quant_matmul if use_pallas else quant_matmul_ref
         out = fn(x2, qw.values, qw.scales, scale_mode=scale_mode,
-                 out_dtype=jnp.float32, packed_int4=qw.packed)
-    return out.reshape(*lead, qw.shape[-1])
+                 out_dtype=out_dtype, packed_int4=qw.packed, swiglu=swiglu)
+    return out.reshape(*lead, N_out)
+
+
+def _swiglu_pairs(h):
+    """silu(h1)*h3 over 128-lane pair-interleaved columns (swiglu128)."""
+    M, N = h.shape
+    a = h.reshape(M, N // 256, 2, 128).astype(jnp.float32)
+    return (jax.nn.silu(a[:, :, 0, :]) * a[:, :, 1, :]).reshape(M, N // 2)
 
 
 def rms_norm(x, weight, eps: float):
@@ -254,18 +352,26 @@ def rms_norm(x, weight, eps: float):
     return (xf * jax.lax.rsqrt(ms + eps) * weight).astype(x.dtype)
 
 
-def rope_rotate(x, positions, base: float):
-    """Interleaved-pair RoPE matching the reference kernel
-    (ref: shl_rvv_rope_fp16, source/thead_rvv/fp16/rope.c:21-68).
-    x: [b, s, h, d]; positions: [s] or [b, s]."""
-    b, s, h, d = x.shape
+def rope_tables(positions, d: int, base: float):
+    """Precompute the RoPE (cos, sin) tables for a position vector — hoisted
+    out of the per-layer loop: every layer shares the same positions, so the
+    64 per-layer cos/sin evaluations of the r4 forward collapse to one.
+    positions: [s] or [b, s] → each table [1|b, s, 1, d/2] f32."""
     inv_freq = base ** (-jnp.arange(0, d // 2, dtype=jnp.float32) * 2.0 / d)
     pos = jnp.asarray(positions, jnp.float32)
     theta = pos[..., None] * inv_freq          # [s, d/2] or [b, s, d/2]
     if theta.ndim == 2:
         theta = theta[None]
-    cos = jnp.cos(theta)[:, :, None, :]
-    sin = jnp.sin(theta)[:, :, None, :]
+    return jnp.cos(theta)[:, :, None, :], jnp.sin(theta)[:, :, None, :]
+
+
+def rope_rotate(x, positions, base: float, tables=None):
+    """Interleaved-pair RoPE matching the reference kernel
+    (ref: shl_rvv_rope_fp16, source/thead_rvv/fp16/rope.c:21-68).
+    x: [b, s, h, d]; positions: [s] or [b, s]; tables: optional precomputed
+    (cos, sin) from rope_tables (positions ignored when given)."""
+    b, s, h, d = x.shape
+    cos, sin = rope_tables(positions, d, base) if tables is None else tables
     xf = x.astype(jnp.float32)
     x0 = xf[..., 0::2]
     x1 = xf[..., 1::2]
@@ -502,18 +608,24 @@ def attention_block(x, layer_params, cache: KVCache, layer_idx: int, pos,
     hq, hk, dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
 
     if "wqkv" in layer_params:
-        qkv = linear(x, layer_params["wqkv"], use_pallas=use_pallas)
+        qkv = linear(x, layer_params["wqkv"], use_pallas=use_pallas,
+                     out_dtype=jnp.bfloat16)
         q = qkv[..., :hq * dh].reshape(b, s, hq, dh)
         k = qkv[..., hq * dh:(hq + hk) * dh].reshape(b, s, hk, dh)
         v = qkv[..., (hq + hk) * dh:].reshape(b, s, hk, dh)
     else:
-        q = linear(x, layer_params["wq"], use_pallas=use_pallas).reshape(b, s, hq, dh)
-        k = linear(x, layer_params["wk"], use_pallas=use_pallas).reshape(b, s, hk, dh)
-        v = linear(x, layer_params["wv"], use_pallas=use_pallas).reshape(b, s, hk, dh)
+        q = linear(x, layer_params["wq"], use_pallas=use_pallas,
+                   out_dtype=jnp.bfloat16).reshape(b, s, hq, dh)
+        k = linear(x, layer_params["wk"], use_pallas=use_pallas,
+                   out_dtype=jnp.bfloat16).reshape(b, s, hk, dh)
+        v = linear(x, layer_params["wv"], use_pallas=use_pallas,
+                   out_dtype=jnp.bfloat16).reshape(b, s, hk, dh)
 
     positions = pos + jnp.arange(s, dtype=jnp.int32)
-    q = rope_rotate(q, positions, cfg.rope_base)
-    k = rope_rotate(k, positions, cfg.rope_base)
+    tabs = layer_params.get("_rope_tables") if isinstance(layer_params, dict) \
+        else None
+    q = rope_rotate(q, positions, cfg.rope_base, tables=tabs)
+    k = rope_rotate(k, positions, cfg.rope_base, tables=tabs)
 
     cache = cache.store(layer_idx, pos, k, v)
     k_all, v_all = cache.read(layer_idx)      # [b, S_max, hk, dh]
@@ -524,37 +636,48 @@ def attention_block(x, layer_params, cache: KVCache, layer_idx: int, pos,
         k_all = k_all[:, :kv_bound]
         v_all = v_all[:, :kv_bound]
 
-    q_t = jnp.transpose(q, (0, 2, 1, 3))                    # [b, hq, s, dh]
-    k_t = jnp.transpose(k_all, (0, 2, 1, 3))                # [b, hk, S, dh]
-    v_t = jnp.transpose(v_all, (0, 2, 1, 3))
-
     from csinn2_tpu.kernels.flash_attention import flash_attention
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
-        out = flash_attention(q_t.astype(jnp.bfloat16),
-                              k_t, v_t, causal=True, q_offset=pos,
-                              kv_len=pos + s, kv_scale=cache.scale)
-    else:
-        # XLA fallback with the same masking semantics
-        kf = k_t.astype(jnp.float32) * (cache.scale or 1.0)
-        vf = v_t.astype(jnp.float32) * (cache.scale or 1.0)
-        if hq != hk:
-            rep = hq // hk
-            kf = jnp.repeat(kf, rep, axis=1)
-            vf = jnp.repeat(vf, rep, axis=1)
-        scale = 1.0 / np.sqrt(dh)
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q_t.astype(jnp.float32), kf) * scale
-        S = kf.shape[2]
-        qpos = pos + jnp.arange(s)[:, None]
-        kpos = jnp.arange(S)[None, :]
-        mask = (kpos <= qpos) & (kpos < pos + s)
-        logits = jnp.where(mask[None, None], logits, -1e30)
-        probs = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, vf)
-
+        # q stays in its activation layout [b, s, hq, dh] — the head permute
+        # rides the kernel's BlockSpec index maps (qo_layout="bshd"), saving
+        # two [b,s,h,d] bf16 transposes per layer; k/v transposes stay (int8,
+        # ~1.3 us each at 7B prefill — examples/ttft_profile.py)
+        k_t = jnp.transpose(k_all, (0, 2, 1, 3))            # [b, hk, S, dh]
+        v_t = jnp.transpose(v_all, (0, 2, 1, 3))
+        out_sh = flash_attention(q.astype(jnp.bfloat16),
+                                 k_t, v_t, causal=True, q_offset=pos,
+                                 kv_len=pos + s, kv_scale=cache.scale,
+                                 qo_layout="bshd")          # [b, s, hq, dh]
+        out = out_sh.reshape(b, s, hq * dh)
+        out = linear(out.astype(jnp.bfloat16), layer_params["wo"],
+                     use_pallas=use_pallas, out_dtype=jnp.bfloat16)
+        if tp_axis is not None:
+            out = jax.lax.psum(out, tp_axis)
+        return out, cache
+    # XLA fallback with the same masking semantics
+    q_t = jnp.transpose(q, (0, 2, 1, 3))                    # [b, hq, s, dh]
+    k_t = jnp.transpose(k_all, (0, 2, 1, 3))                # [b, hk, S, dh]
+    v_t = jnp.transpose(v_all, (0, 2, 1, 3))
+    kf = k_t.astype(jnp.float32) * (cache.scale or 1.0)
+    vf = v_t.astype(jnp.float32) * (cache.scale or 1.0)
+    if hq != hk:
+        rep = hq // hk
+        kf = jnp.repeat(kf, rep, axis=1)
+        vf = jnp.repeat(vf, rep, axis=1)
+    scale = 1.0 / np.sqrt(dh)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q_t.astype(jnp.float32), kf) * scale
+    S = kf.shape[2]
+    qpos = pos + jnp.arange(s)[:, None]
+    kpos = jnp.arange(S)[None, :]
+    mask = (kpos <= qpos) & (kpos < pos + s)
+    logits = jnp.where(mask[None, None], logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, vf)
     out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, s, hq * dh)
-    out = linear(out.astype(jnp.bfloat16), layer_params["wo"], use_pallas=use_pallas)
+    out = linear(out.astype(jnp.bfloat16), layer_params["wo"],
+                 use_pallas=use_pallas, out_dtype=jnp.bfloat16)
     if tp_axis is not None:
         out = jax.lax.psum(out, tp_axis)
     return out, cache
@@ -563,15 +686,25 @@ def attention_block(x, layer_params, cache: KVCache, layer_idx: int, pos,
 def ffn_block(x, layer_params, use_pallas=None, tp_axis: Optional[str] = None):
     """SwiGLU FFN: w2(silu(w1 x) * w3 x) (ref: llama2.c:431-455).
     Under TP, w1/w3 are column-sharded and w2 row-sharded → one psum."""
-    if "w13" in layer_params:
-        h13 = linear(x, layer_params["w13"], use_pallas=use_pallas)
-        F = h13.shape[-1] // 2
-        h1, h3 = h13[..., :F], h13[..., F:]
+    if "w13" in layer_params and layer_params["w13"].layout == "swiglu128":
+        # silu(h1)*h3 fused into the GEMM epilogue: h13 never hits HBM
+        h = linear(x, layer_params["w13"], use_pallas=use_pallas,
+                   out_dtype=jnp.bfloat16, swiglu=True)
     else:
-        h1 = linear(x, layer_params["w1"], use_pallas=use_pallas)
-        h3 = linear(x, layer_params["w3"], use_pallas=use_pallas)
-    h = jax.nn.silu(h1) * h3
-    out = linear(h.astype(jnp.bfloat16), layer_params["w2"], use_pallas=use_pallas)
+        if "w13" in layer_params:
+            h13 = linear(x, layer_params["w13"], use_pallas=use_pallas,
+                         out_dtype=jnp.bfloat16)
+            F = h13.shape[-1] // 2
+            h1, h3 = h13[..., :F], h13[..., F:]
+        else:
+            h1 = linear(x, layer_params["w1"], use_pallas=use_pallas,
+                        out_dtype=jnp.bfloat16)
+            h3 = linear(x, layer_params["w3"], use_pallas=use_pallas,
+                        out_dtype=jnp.bfloat16)
+        h = (jax.nn.silu(h1.astype(jnp.float32))
+             * h3.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = linear(h.astype(jnp.bfloat16), layer_params["w2"],
+                 use_pallas=use_pallas, out_dtype=jnp.bfloat16)
     if tp_axis is not None:
         out = jax.lax.psum(out, tp_axis)
     return out
@@ -697,7 +830,11 @@ def llama_forward(params, tokens, cache: KVCache, pos, cfg: LlamaConfig,
     source/llm/llm.c:152-181).
     """
     x = params["tok_embedding"][tokens]                  # [b, s, D] bf16
+    # RoPE trig is position-only: compute once, share across all layers
+    tabs = rope_tables(pos + jnp.arange(tokens.shape[1], dtype=jnp.int32),
+                       cfg.head_dim, cfg.rope_base)
     for i, lp in enumerate(params["layers"]):
+        lp = {**lp, "_rope_tables": tabs}
         h = rms_norm(x, lp["attn_norm"], cfg.norm_eps)
         attn_out, cache = attention_block(h.astype(jnp.bfloat16), lp, cache, i,
                                           pos, cfg, use_pallas, tp_axis,

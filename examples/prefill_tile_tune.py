@@ -70,8 +70,11 @@ def main():
     shapes = {
         (4096, 12288): [(128, 2048, 1024, "repeat"), (128, 4096, 512, "repeat"),
                         (128, 6144, 512, "repeat")],
-        (4096, 22016): [(128, 5504, 512, "repeat")],
-        (11008, 4096): [(128, 4096, 256, "repeat")],
+        (4096, 22016): [(128, 5504, 512, "repeat"), (128, 5504, 1024, "repeat"),
+                        (128, 11008, 512, "repeat"), (128, 11008, 256, "repeat")],
+        (11008, 4096): [(128, 4096, 256, "repeat"), (128, 2048, 256, "repeat"),
+                        (128, 2048, 5504, "repeat"), (128, 1024, 5504, "repeat"),
+                        (64, 4096, 256, "repeat")],
         (4096, 4096): [(128, 2048, 1024, "repeat"), (128, 4096, 512, "repeat")],
         (4096, 32000): [(128, 1280, 2048, "repeat"), (128, 3200, 512, "repeat"),
                         (128, 3200, 1024, "repeat")],

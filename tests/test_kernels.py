@@ -180,6 +180,50 @@ def test_native4_params_conversion(rng):
     np.testing.assert_allclose(y_n4, y_pk, rtol=1e-5, atol=1e-5)
 
 
+def test_qmatmul_swiglu_epilogue(rng):
+    """swiglu=True: silu(h1)*h3 over 128-lane pair-interleaved columns ==
+    the unfused reference (opt-in path; measured negative at 7B prefill but
+    kept correct — see llm/model.fuse_layer_weights)."""
+    M, K, N = 8, 128, 512          # N = 2F, pairs of 128 lanes
+    x = rng.standard_normal((M, K)).astype(np.float32)
+    w = rng.integers(-127, 128, size=(K, N)).astype(np.int8)
+    s = (rng.random((K // 32, N)).astype(np.float32) * 0.02 + 0.005)
+    out = np.asarray(quant_matmul(x, w, s, scale_mode="block", swiglu=True,
+                                  bm=8, bn=512, bk=128, interpret=True))
+    gold = np.asarray(quant_matmul_ref(x, w, s, scale_mode="block",
+                                       swiglu=True))
+    assert out.shape == (M, N // 2)
+    r = verify(out, gold, tol=5e-2, min_cosine=0.999)
+    assert r.cosine_sim > 0.999, r
+
+
+def test_swiglu_fused_weights_match_unfused(rng):
+    """qweight_concat_swiglu + linear(swiglu=True) == silu(x@w1)*(x@w3),
+    including the F->Fp zero-padding and the matching w2 K-pad."""
+    from csinn2_tpu.llm.model import (linear, qweight_concat_swiglu,
+                                      _pad_rows_qw, quantize_weight)
+    K, F = 128, 384                # F % 512 != 0 -> pads to 512
+    w1 = rng.standard_normal((K, F)).astype(np.float32) * 0.05
+    w3 = rng.standard_normal((K, F)).astype(np.float32) * 0.05
+    x = jnp.asarray(rng.standard_normal((4, K)), jnp.float32)
+    q1, q3 = quantize_weight(w1, "q8_0"), quantize_weight(w3, "q8_0")
+    w13 = qweight_concat_swiglu(q1, q3)
+    assert w13.layout == "swiglu128" and w13.shape[-1] == 1024
+    h = np.asarray(linear(x, w13, use_pallas=False, swiglu=True))
+    h1 = np.asarray(linear(x, q1, use_pallas=False))
+    h3 = np.asarray(linear(x, q3, use_pallas=False))
+    gold = (h1 / (1 + np.exp(-h1))) * h3
+    np.testing.assert_allclose(h[:, :F], gold, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(h[:, F:], 0.0, atol=1e-6)   # padded tail
+    # w2 K-pad: padded rows contribute nothing
+    w2 = quantize_weight(rng.standard_normal((F, 64)).astype(np.float32) * 0.05,
+                         "q8_0")
+    w2p = _pad_rows_qw(w2, 512)
+    y = np.asarray(linear(jnp.asarray(h), w2p, use_pallas=False))
+    y0 = np.asarray(linear(jnp.asarray(h[:, :F]), w2, use_pallas=False))
+    np.testing.assert_allclose(y, y0, rtol=1e-5, atol=1e-5)
+
+
 def test_qmatmul_packed_int4_channel(rng):
     from csinn2_tpu.kernels.qmatmul import pack_int4
     M, K, N = 8, 64, 32
