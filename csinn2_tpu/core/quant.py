@@ -188,10 +188,15 @@ def requantize_int(acc_i32, multiplier, shift, out_zp, out_dtype: Dtype):
     left = np.maximum(s, 0)
     right = np.maximum(-s, 0)
     x = np.clip(x << left, -(2**31), 2**31 - 1)
-    # saturating rounding doubling high mul: (a*b + nudge) >> 31 (gemmlowp)
+    # saturating rounding doubling high mul: (a*b + nudge) / 2^31 with C
+    # TRUNCATING division (gemmlowp SRDHM; an arithmetic >> here would
+    # floor, biasing every negative product one LSB low — fixed in r5, the
+    # in-kernel integer epilogue kernels/requant.py matches this exactly)
     prod = x * m
     nudge = np.where(prod >= 0, 1 << 30, 1 - (1 << 30))
-    x = np.clip((prod + nudge) >> 31, -(2**31), 2**31 - 1)
+    q = prod + nudge
+    x = np.where(q >= 0, q >> 31, -((-q) >> 31))
+    x = np.clip(x, -(2**31), 2**31 - 1)
     # rounding arithmetic right shift
     mask = (np.int64(1) << right) - 1
     remainder = x & mask

@@ -158,6 +158,14 @@ def _conv2d_quant(arrays, metas, params, out_qinfo, w_layout=Layout.OIHW):
         # appended by the op API when x has a static nonzero zp)
         smap = arrays[-1]
         arrays = arrays[:-1]
+        metas = metas[:-1]
+    residual = r_qi = None
+    if getattr(params, "fuse_add", False):
+        # fused residual join (slot after bias — see ops/api._conv_inputs):
+        # added to the dequantized accumulator inside the SAME fused epilogue
+        residual = arrays[3]
+        r_qi = metas[3].qinfo
+        arrays = arrays[:3]
     x = arrays[0]
     w = arrays[1]
     bias = arrays[2] if len(arrays) > 2 else None
@@ -326,6 +334,15 @@ def _conv2d_quant(arrays, metas, params, out_qinfo, w_layout=Layout.OIHW):
     def _b(v):
         return jnp.reshape(v, shape) if jnp.ndim(v) else v
 
+    def _res_fp():
+        # dequantized residual (r - zr)*sr as f32 — ONE extra multiply-add
+        # per element inside the fused conv epilogue (vs a standalone int8
+        # add node: 2 reads + requantize + write, 70-290 us at bs128)
+        if r_qi is None or r_qi.dtype.is_float:
+            return residual.astype(jnp.float32)
+        sr, zr = _scales(r_qi)
+        return (residual.astype(jnp.float32) - zr) * sr
+
     eff = sx * sw                           # [O] or scalar, f32
     if out_qinfo is not None and not out_qinfo.dtype.is_float:
         # Fully-folded requantize: ONE multiply + ONE add + round + clip.
@@ -355,7 +372,7 @@ def _conv2d_quant(arrays, metas, params, out_qinfo, w_layout=Layout.OIHW):
         # symmetric-output models (MNv1-int8 60k → 38.6k img/s with either
         # static or traced clip bounds).  Dispatch on zo: zero → classic
         # chain, nonzero → folded.
-        if so_f is not None and zo_f != 0.0:
+        if so_f is not None and zo_f != 0.0 and not params.fuse_hswish:
             scale2 = eff / so
             bias2 = zo if bias is None else \
                 zo + jnp.asarray(bias, jnp.float32) / so
@@ -366,15 +383,28 @@ def _conv2d_quant(arrays, metas, params, out_qinfo, w_layout=Layout.OIHW):
             if params.fuse_relu6:
                 hi = min(hi, float(np.round(6.0 / so_f)) + zo_f)
             y = acc.astype(jnp.float32) * _b(scale2) + _b(bias2)
+            if residual is not None:
+                # folded residual: r_q*(sr/so) with the -zr*sr/so constant in
+                # the bias term — keeps the epilogue one mul-add deeper only
+                if r_qi is None or r_qi.dtype.is_float:
+                    y = y + residual.astype(jnp.float32) / so
+                else:
+                    sr, zr = _scales(r_qi)
+                    y = y + residual.astype(jnp.float32) * (sr / so) \
+                        - zr * sr / so
             q = jnp.clip(jnp.round(y), lo, hi)
             return q.astype(out_qinfo.dtype.jnp)
         y = acc.astype(jnp.float32) * _b(eff)
         if bias is not None:
             y = y + _b(jnp.asarray(bias, jnp.float32))
+        if residual is not None:
+            y = y + _res_fp()
         if params.fuse_relu:
             y = jnp.maximum(y, 0.0)
         if params.fuse_relu6:
             y = jnp.clip(y, 0.0, 6.0)
+        if params.fuse_hswish:
+            y = y * jnp.clip(y + 3.0, 0.0, 6.0) * (1.0 / 6.0)
         q = jnp.clip(jnp.round(y / so) + zo, out_qinfo.dtype.qmin,
                      out_qinfo.dtype.qmax)
         return q.astype(out_qinfo.dtype.jnp)
@@ -382,10 +412,14 @@ def _conv2d_quant(arrays, metas, params, out_qinfo, w_layout=Layout.OIHW):
     y = acc * _b(eff)
     if bias is not None:
         y = y + _b(jnp.asarray(bias, jnp.float32))
+    if residual is not None:
+        y = y + _res_fp()
     if params.fuse_relu:
         y = jnp.maximum(y, 0.0)
     if params.fuse_relu6:
         y = jnp.clip(y, 0.0, 6.0)
+    if params.fuse_hswish:
+        y = y * jnp.clip(y + 3.0, 0.0, 6.0) * (1.0 / 6.0)
     return y if out_qinfo is None else y.astype(out_qinfo.dtype.jnp)
 
 

@@ -119,7 +119,7 @@ def _kernel(x_ref, w_ref, s_ref, b_ref, out_ref, acc_ref, *, scale_mode: str,
             w_transposed: bool = False, int_dot: bool = False,
             has_bias: bool = False, out_zp: float = 0.0,
             qclip=None, deq: str = "repeat", split_x: bool = False,
-            swiglu: bool = False):
+            swiglu: bool = False, int_requant: bool = False):
     """One (BM, BN) output tile; grid = (M/BM, N/BN, K/BK), K innermost.
 
     w_transposed: the weight is prepacked [N, K] ("rearranged" layout, the
@@ -244,6 +244,20 @@ def _kernel(x_ref, w_ref, s_ref, b_ref, out_ref, acc_ref, *, scale_mode: str,
 
     @pl.when(k == n_k - 1)
     def _():
+        if int_requant:
+            # bit-exact fixed-point epilogue on the int32 accumulator
+            # (ref: requantize_m4_s fused into the GEMM,
+            # source/thead_rvv/int8/gemm_int8_packn.c:26-41).  mult/shift
+            # ride the scales slot as an int32 [2, N] pair; int32 bias is
+            # added BEFORE the requantize, as the reference does.
+            from csinn2_tpu.kernels.requant import requant_int
+            a = acc_ref[:]
+            if has_bias:
+                a = a + b_ref[:]
+            y = requant_int(a, s_ref[0:1, :], s_ref[1:2, :], out_zp,
+                            int(qclip[0]), int(qclip[1]))
+            out_ref[:] = y.astype(out_dtype)
+            return
         acc = acc_ref[:].astype(jnp.float32)
         if scale_mode == "channel":
             acc = acc * s_ref[:].astype(jnp.float32)   # [1, BN] broadcast
@@ -276,7 +290,8 @@ def quant_matmul(x, w_q, scales=None, bias=None, *, scale_mode: str = "channel",
                  bk: Optional[int] = None,
                  interpret: bool = False, packed_int4: bool = False,
                  w_transposed: bool = False, out_zp: float = 0.0,
-                 deq: str = "repeat", swiglu: bool = False):
+                 deq: str = "repeat", swiglu: bool = False,
+                 rq_mult=None, rq_shift=None):
     """y[M,N] = (x[M,K] · dequant(w_q)) * epilogue_scale + bias.
 
     x: float (bf16/f32) or int8 carrier (converted exactly to bf16).
@@ -485,9 +500,21 @@ def quant_matmul(x, w_q, scales=None, bias=None, *, scale_mode: str = "channel",
         x_spec = pl.BlockSpec((bm, bk), lambda i, j, k: (i, k),
                               memory_space=pltpu.VMEM)
 
+    int_requant = rq_mult is not None
     in_specs = [x_spec, w_spec]
     args = [x, w_q]
-    if scale_mode == "channel":
+    if int_requant:
+        # bit-exact integer requantize epilogue (kernels/requant.py):
+        # per-channel (multiplier, shift) ride the scales slot as int32 [2, N]
+        assert scale_mode == "none", "fold scales into rq_mult/rq_shift"
+        rm = jnp.broadcast_to(jnp.asarray(rq_mult, jnp.int32).reshape(-1), (N,))
+        rs = jnp.broadcast_to(jnp.asarray(rq_shift, jnp.int32).reshape(-1), (N,))
+        rq = jnp.stack([rm, rs])                                   # [2, N]
+        rq = jnp.pad(rq, ((0, 0), (0, Np - N))) if Np != N else rq
+        in_specs.append(pl.BlockSpec((2, bn), lambda i, j, k: (0, j),
+                                     memory_space=pltpu.VMEM))
+        args.append(rq)
+    elif scale_mode == "channel":
         s = jnp.asarray(scales, jnp.float32).reshape(1, -1)
         s = jnp.pad(s, ((0, 0), (0, Np - N))) if Np != N else s
         in_specs.append(pl.BlockSpec((1, bn), lambda i, j, k: (0, j),
@@ -517,7 +544,13 @@ def quant_matmul(x, w_q, scales=None, bias=None, *, scale_mode: str = "channel",
         args.append(jnp.zeros((1, 1), jnp.float32))
 
     has_bias = bias is not None
-    if xhi is not None:
+    if int_requant and has_bias:
+        b = jnp.asarray(bias, jnp.int32).reshape(1, -1)
+        b = jnp.pad(b, ((0, 0), (0, Np - N))) if Np != N else b
+        in_specs.append(pl.BlockSpec((1, bn), lambda i, j, k: (0, j),
+                                     memory_space=pltpu.VMEM))
+        args.append(b)
+    elif xhi is not None:
         # packed int4 split dots: the high-nibble activation half rides the
         # bias input slot
         in_specs.append(pl.BlockSpec((bm, bk // 2), lambda i, j, k: (i, k),
@@ -541,6 +574,11 @@ def quant_matmul(x, w_q, scales=None, bias=None, *, scale_mode: str = "channel",
         qclip = (float(info.min), float(info.max))
     assert not (swiglu and qclip is not None), \
         "swiglu epilogue is float-only (no integer requantize output)"
+    if int_requant:
+        # exactness requires the int32 MXU accumulator (a f32 accumulator
+        # from bf16 carriers is only integer-exact below 2^24)
+        assert int_dot, "rq_mult requires int8 x and unpacked int8 w"
+        assert qclip is not None, "integer out_dtype required with rq_mult"
 
     flops = 2 * Mp * Np * Kp
     w_bytes = w_q.size // 2 if native4 else w_q.size * w_q.dtype.itemsize
@@ -553,7 +591,8 @@ def quant_matmul(x, w_q, scales=None, bias=None, *, scale_mode: str = "channel",
                           packed_int4=packed_int4, bk=bk, bn=bn,
                           w_transposed=w_transposed, int_dot=int_dot,
                           has_bias=has_bias, out_zp=out_zp, qclip=qclip,
-                          deq=deq, split_x=split_x, swiglu=swiglu),
+                          deq=deq, split_x=split_x, swiglu=swiglu,
+                          int_requant=int_requant),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, bn // 2) if swiglu else (bm, bn),

@@ -138,7 +138,13 @@ class NetBuilder:
     # -- layers --------------------------------------------------------------
 
     def conv(self, x, name: str, stride=1, pad="same", k=None, group: int = 1,
-             relu6: bool = False, relu: bool = False) -> Tensor:
+             relu6: bool = False, relu: bool = False, add=None,
+             hswish: bool = False, quant: bool = True) -> Tensor:
+        """add: optional residual tensor fused into the conv epilogue
+        (conv + bias + residual -> activation -> ONE requantize; the
+        reference's HHB performs the same conv→add graph fusion).  The
+        calibration range recorded under `name` is then the post-join
+        activation, so the join costs no extra quantization step."""
         wgt = self.weight(name + ".w")
         k = k or self.w[name + ".w"].shape[2]
         if pad == "same":
@@ -153,14 +159,18 @@ class NetBuilder:
             padding = pad if len(pad) == 4 else (pad[0], pad[0], pad[1], pad[1])
         params = ops.Conv2dParams(stride=(stride, stride), pad=padding, group=group,
                                   layout=self.layout, name=name,
-                                  fuse_relu=relu, fuse_relu6=relu6)
+                                  fuse_relu=relu, fuse_relu6=relu6,
+                                  fuse_hswish=hswish)
         out = ops.conv2d(x, wgt, self.bias(name + ".b"), params,
-                         out_qinfo=self._out_qinfo(name))
+                         out_qinfo=self._out_qinfo(name) if quant else None,
+                         residual=add)
         return self._post(out, name)
 
-    def dwconv(self, x, name: str, stride=1, pad="same", relu6=False, relu=False) -> Tensor:
+    def dwconv(self, x, name: str, stride=1, pad="same", relu6=False,
+               relu=False, hswish=False) -> Tensor:
         cin = x.shape[channel_axis(self.layout)]
-        return self.conv(x, name, stride=stride, pad=pad, group=cin, relu6=relu6, relu=relu)
+        return self.conv(x, name, stride=stride, pad=pad, group=cin,
+                         relu6=relu6, relu=relu, hswish=hswish)
 
     def fc(self, x, name: str) -> Tensor:
         wgt = self.weight(name + ".w")
@@ -182,8 +192,9 @@ class NetBuilder:
                     out_qinfo=self._out_qinfo(name))
         return self._post(y, name)
 
-    def hardsigmoid(self, x, name: str) -> Tensor:
-        y = ops.hard_sigmoid(x, out_qinfo=self._out_qinfo(name))
+    def hardsigmoid(self, x, name: str, quant: bool = True) -> Tensor:
+        qi = self._out_qinfo(name) if quant else None
+        y = ops.hard_sigmoid(x, out_qinfo=qi)
         return self._post(y, name)
 
     def add(self, a, b, name: str) -> Tensor:
@@ -192,9 +203,10 @@ class NetBuilder:
     def mul(self, a, b, name: str) -> Tensor:
         return self._post(ops.mul(a, b, out_qinfo=self._out_qinfo(name)), name)
 
-    def global_pool(self, x, name: str) -> Tensor:
+    def global_pool(self, x, name: str, quant: bool = True) -> Tensor:
         p = ops.PoolParams(layout=self.layout, name=name)
-        return self._post(ops.global_avgpool2d(x, p, out_qinfo=self._out_qinfo(name)), name)
+        qi = self._out_qinfo(name) if quant else None
+        return self._post(ops.global_avgpool2d(x, p, out_qinfo=qi), name)
 
     def maxpool(self, x, name: str, k=3, stride=2, pad=(1, 1, 1, 1)) -> Tensor:
         p = ops.PoolParams(kernel=(k, k), stride=(stride, stride), pad=pad,

@@ -208,9 +208,9 @@ class MobileNetV2(_CnnModel):
                 if t != 1:
                     h = b.conv(h, f"b{bi}.expand", stride=1, relu6=True)
                 h = b.dwconv(h, f"b{bi}.dw", stride=stride, relu6=True)
-                h = b.conv(h, f"b{bi}.project", stride=1)
-                if stride == 1 and cin == cout:
-                    h = b.add(h, inp, f"b{bi}.add")
+                # residual fused into the project conv epilogue (see resnet)
+                shortcut = inp if (stride == 1 and cin == cout) else None
+                h = b.conv(h, f"b{bi}.project", stride=1, add=shortcut)
                 x = h
                 cin = cout
                 bi += 1
@@ -263,30 +263,32 @@ class MobileNetV3(_CnnModel):
         w["fc.b"] = np.zeros((self.num_classes,), np.float32)
 
     def forward(self, b: NetBuilder, x: Tensor) -> Tensor:
-        x = b.conv(x, "conv0", stride=2)
-        x = b.hardswish(x, "conv0.hs")
+        # hardswish activations fuse into the producing conv epilogue (one
+        # requantize per conv instead of 3-4 extra full-activation passes —
+        # the r4 v3 bottleneck); residual joins fuse into the project conv.
+        # An all-f32 SE interior was tried and REGRESSED accuracy (cosine
+        # 0.94 vs 0.98 at 96px — the f32 hard-sigmoid tap diverged 0.980 vs
+        # 0.99996 for the quantized chain) — SE stays quantized.
+        x = b.conv(x, "conv0", stride=2, hswish=True)
         cin = 16
         for i, (k, exp, cout, se, act, s) in enumerate(self.CFG):
             inp = x
             h = x
+            hs = act == "hs"
             if exp != cin:
-                h = b.conv(h, f"b{i}.expand", stride=1)
-                h = b.hardswish(h, f"b{i}.expand.act") if act == "hs" else b.relu(h, f"b{i}.expand.act")
-            h = b.dwconv(h, f"b{i}.dw", stride=s)
-            h = b.hardswish(h, f"b{i}.dw.act") if act == "hs" else b.relu(h, f"b{i}.dw.act")
+                h = b.conv(h, f"b{i}.expand", stride=1, hswish=hs, relu=not hs)
+            h = b.dwconv(h, f"b{i}.dw", stride=s, hswish=hs, relu=not hs)
             if se:
                 p = b.global_pool(h, f"b{i}.se.pool")
                 p = b.conv(p, f"b{i}.se1", stride=1, relu=True)
                 p = b.conv(p, f"b{i}.se2", stride=1)
                 p = b.hardsigmoid(p, f"b{i}.se.sig")
                 h = b.mul(h, p, f"b{i}.se.scale")
-            h = b.conv(h, f"b{i}.project", stride=1)
-            if s == 1 and cin == cout:
-                h = b.add(h, inp, f"b{i}.add")
+            shortcut = inp if (s == 1 and cin == cout) else None
+            h = b.conv(h, f"b{i}.project", stride=1, add=shortcut)
             x = h
             cin = cout
-        x = b.conv(x, "conv_last", stride=1)
-        x = b.hardswish(x, "conv_last.hs")
+        x = b.conv(x, "conv_last", stride=1, hswish=True)
         x = b.global_pool(x, "gap")
         x = b.flatten(x)
         x = b.fc(x, "fc1")

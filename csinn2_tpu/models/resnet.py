@@ -48,11 +48,13 @@ class ResNet50(_CnnModel):
                 identity = x
                 h = b.conv(x, f"{pre}.c1", stride=1, relu=True)
                 h = b.conv(h, f"{pre}.c2", stride=stride, relu=True)
-                h = b.conv(h, f"{pre}.c3", stride=1)
                 if bi == 0:
                     identity = b.conv(x, f"{pre}.down", stride=stride)
-                h = b.add(h, identity, f"{pre}.add")
-                x = b.relu(h, f"{pre}.out")
+                # residual join + relu fused into the c3 conv epilogue: one
+                # requantize for the whole block tail instead of separate
+                # add/relu nodes (each re-reading both int8 operands —
+                # measured 70-290 us/node at bs128, mobilenet_profile)
+                x = b.conv(h, f"{pre}.c3", stride=1, add=identity, relu=True)
                 cin = ch * 4
         x = b.global_pool(x, "gap")
         x = b.flatten(x)

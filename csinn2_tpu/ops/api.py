@@ -266,17 +266,32 @@ def _zp_sumw_tensor(x, weight, params):
     return t
 
 
-def _conv_inputs(x, weight, bias, params):
+def _conv_inputs(x, weight, bias, params, residual=None):
     ins = [x, weight, bias]
+    if residual is not None:
+        # fused residual rides between bias and the zp map so the quant
+        # callback finds it at a fixed slot and the generic path's
+        # strip-last-__zp_wsum__ logic stays valid
+        ins.append(residual)
     m = _zp_sumw_tensor(x, weight, params)
     if m is not None:
         ins.append(m)
     return ins
 
 
-def conv2d(x, weight, bias=None, params: P.Conv2dParams = None, out_qinfo=None):
+def conv2d(x, weight, bias=None, params: P.Conv2dParams = None, out_qinfo=None,
+           residual=None):
+    """residual: optional same-shape tensor added to the conv output BEFORE
+    the fused activation/requantize — the ResNet join in one epilogue (the
+    graph-opt the reference's HHB performs on conv→add chains)."""
     params = params or P.Conv2dParams()
-    return call_op("conv2d", _conv_inputs(x, weight, bias, params),
+    if residual is not None:
+        import dataclasses as _dc
+        params = _dc.replace(params, fuse_add=True)
+        if bias is None:
+            O = weight.shape[0]
+            bias = Tensor(np.zeros((O,), np.float32))
+    return call_op("conv2d", _conv_inputs(x, weight, bias, params, residual),
                    params, out_qinfo, w_layout=_w_layout(weight))
 
 

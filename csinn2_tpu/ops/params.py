@@ -33,6 +33,14 @@ class Conv2dParams(ParamsBase):
     dilation: Tuple[int, int] = (1, 1)
     fuse_relu: bool = False     # CONV2D_RELU fused variant
     fuse_relu6: bool = False
+    # residual input fused into the conv epilogue (conv+bias+residual→requant
+    # in ONE pass — the ResNet join; the standalone int8 add re-reads both
+    # operands and re-requantizes: measured 70-290 µs/node at bs128,
+    # examples/mobilenet_profile.py resnet50)
+    fuse_add: bool = False
+    # x·relu6(x+3)/6 fused into the epilogue (MobileNetV3: an unfused
+    # hardswish is 3-4 graph nodes, each re-reading the full activation)
+    fuse_hswish: bool = False
 
 
 @dataclasses.dataclass

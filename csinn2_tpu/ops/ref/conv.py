@@ -44,12 +44,17 @@ def _weight_to(dn_weight: str, w, w_layout: Layout):
 
 
 @registry.register("conv2d", api=Api.XLA)
-def conv2d(x, weight, bias, params: Conv2dParams, w_layout: Layout = Layout.OIHW):
+def conv2d(x, weight, bias, *rest, w_layout: Layout = Layout.OIHW):
     """Grouped/depthwise 2-D convolution, f32.
 
     x: activation in params.layout; weight [O, I/g, kh, kw] (OIHW view);
     pad = (top, down, left, right) as in csinn_conv2d_params.
+    rest: (params,) or (residual, params) — a fused residual (params.fuse_add,
+    already dequantized by the generic dispatch) adds into the output before
+    the fused activation.
     """
+    params: Conv2dParams = rest[-1]
+    residual = rest[0] if len(rest) > 1 else None
     dn = _DN2D[params.layout]
     w = _weight_to(dn[1], weight, w_layout)
     pt, pd, pl, pr = params.pad
@@ -65,10 +70,14 @@ def conv2d(x, weight, bias, params: Conv2dParams, w_layout: Layout = Layout.OIHW
     if bias is not None and jnp.size(bias) > 0:
         caxis = 1 if params.layout == Layout.NCHW else 3
         out = out + jnp.reshape(bias, [-1 if i == caxis else 1 for i in range(4)])
+    if residual is not None:
+        out = out + jnp.asarray(residual, jnp.float32)
     if params.fuse_relu:
         out = jnp.maximum(out, 0.0)
     if params.fuse_relu6:
         out = jnp.clip(out, 0.0, 6.0)
+    if params.fuse_hswish:
+        out = out * jnp.clip(out + 3.0, 0.0, 6.0) * (1.0 / 6.0)
     return out
 
 
@@ -78,12 +87,12 @@ def depthwise_conv2d(x, weight, bias, params: Conv2dParams, w_layout: Layout = L
     (ref: shl_ref_depthwise_conv2d_f32)."""
     cin = x.shape[1] if params.layout == Layout.NCHW else x.shape[3]
     p = Conv2dParams(**{**params.__dict__, "group": cin})
-    return conv2d(x, weight, bias, p, w_layout)
+    return conv2d(x, weight, bias, p, w_layout=w_layout)
 
 
 @registry.register("group_conv2d", api=Api.XLA)
 def group_conv2d(x, weight, bias, params: Conv2dParams, w_layout: Layout = Layout.OIHW):
-    return conv2d(x, weight, bias, params, w_layout)
+    return conv2d(x, weight, bias, params, w_layout=w_layout)
 
 
 @registry.register("conv1d", api=Api.XLA)

@@ -50,19 +50,32 @@ class NodeCost:
     fusable: bool
     extra_read: int = 0  # bytes a fused epilogue still MUST read (residual
     #                      second operand) — counted in the fused total
+    vpu_ops: int = 0    # ops that run on the VPU, not the MXU (depthwise
+    #                     convs: XLA keeps them off the MXU; measured ~3.0 T
+    #                     int-ops/s regardless of carrier or regrouping —
+    #                     examples/conv_bound_probes.py probes 1-3).  When
+    #                     set, the node's compute floor is vpu_ops/VPU rate
+    #                     (its MXU term is meaningless).
+
+    VPU_OPS_S = 3.0e12   # measured v5e depthwise rate (int/bf16 carriers)
 
     @property
     def bytes(self) -> int:
         return self.act_bytes + self.w_bytes
 
     def t_us(self, peak_tops: float, hbm_gbps: float) -> float:
-        t_mxu = self.flops / (peak_tops * 1e12) * 1e6
+        if self.vpu_ops:
+            t_c = self.vpu_ops / self.VPU_OPS_S * 1e6
+        else:
+            t_c = self.flops / (peak_tops * 1e12) * 1e6
         t_hbm = self.bytes / (hbm_gbps * 1e9) * 1e6
-        return max(t_mxu, t_hbm)
+        return max(t_c, t_hbm)
 
     def bound(self, peak_tops: float, hbm_gbps: float) -> str:
-        t_mxu = self.flops / (peak_tops * 1e12)
         t_hbm = self.bytes / (hbm_gbps * 1e9)
+        if self.vpu_ops:
+            return "vpu" if self.vpu_ops / self.VPU_OPS_S >= t_hbm else "hbm"
+        t_mxu = self.flops / (peak_tops * 1e12)
         return "mxu" if t_mxu >= t_hbm else "hbm"
 
 
@@ -94,6 +107,7 @@ def node_cost(node, consts_ids) -> NodeCost:
 
     op = node.op
     extra_read = 0
+    vpu_ops = 0
     if op in ("conv2d", "depthwise_conv2d", "group_conv2d", "conv2d_relu",
               "conv2d_relu6", "deconv2d", "ds_block"):
         flops = _conv_flops(node)
@@ -102,6 +116,14 @@ def node_cost(node, consts_ids) -> NodeCost:
             w1 = node.inputs[1].meta.shape
             mid = int(np.prod(out[:-1])) * w1[0]
             flops = 2 * mid * int(np.prod(w1[1:])) + _matmul_flops(node)
+        # depthwise structure (I/g == 1): XLA executes these on the VPU at
+        # ~3 T ops/s, NOT the MXU — the r4 HBM-only denominator flattered
+        # dw-heavy nets (MNv1/v2/v3); VERDICT r4 weak #5 / task 9
+        w_shape = node.inputs[1].meta.shape
+        grp = int(getattr(node.params, "group", 1) or 1)
+        if op == "depthwise_conv2d" or (len(w_shape) == 4 and grp > 1
+                                        and w_shape[1] == 1):
+            vpu_ops = flops
         fusable = False
     elif op in ("fullyconnected", "matmul", "cache_matmul"):
         flops = _matmul_flops(node)
@@ -127,6 +149,7 @@ def node_cost(node, consts_ids) -> NodeCost:
     cost = NodeCost(name=node.name or op, op=op, flops=flops,
                     act_bytes=act_in + out_b, w_bytes=w_in, fusable=fusable)
     cost.extra_read = extra_read
+    cost.vpu_ops = vpu_ops
     return cost
 
 
@@ -143,12 +166,22 @@ class RooflineReport:
     @property
     def fused_sol_s(self) -> float:
         """Speed-of-light seconds assuming XLA fuses all elementwise chains
-        (plus the residual-read traffic fusion cannot elide — extra_read)."""
-        matrix = sum(c.t_us(self.peak_tops, self.hbm_gbps)
-                     for c in self.costs if not c.fusable)
-        residual = sum(c.extra_read for c in self.costs if c.fusable) \
-            / (self.hbm_gbps * 1e9) * 1e6
-        return (matrix + residual) * 1e-6
+        (plus the residual-read traffic fusion cannot elide — extra_read).
+
+        Engine-concurrency bound: the chip's DMA engines, MXU and VPU run
+        CONCURRENTLY across nodes, so the only provable floor is the busiest
+        engine's total serial time — max(Σ HBM, Σ MXU, Σ VPU).  The r4
+        per-node max-sum is NOT a lower bound once the depthwise VPU floor
+        is modeled: MNv1 measured 114% of that sum (dw VPU work overlaps the
+        neighboring pointwise convs' HBM streaming)."""
+        mat = [c for c in self.costs if not c.fusable]
+        t_hbm = (sum(c.bytes for c in mat)
+                 + sum(c.extra_read for c in self.costs if c.fusable)) \
+            / (self.hbm_gbps * 1e9)
+        t_mxu = sum(c.flops for c in mat if not c.vpu_ops) \
+            / (self.peak_tops * 1e12)
+        t_vpu = sum(c.vpu_ops for c in mat) / NodeCost.VPU_OPS_S
+        return max(t_hbm, t_mxu, t_vpu)
 
     @property
     def unfused_sol_s(self) -> float:

@@ -51,10 +51,10 @@ def test_bound_classification():
 
 def test_mobilenet_v1_int8_is_bandwidth_bound():
     """The result bench.py reports against: at bs=128 MobileNetV1 on v5e
-    (394 int8 TOPS vs 819 GB/s) is predominantly HBM-bound — all depthwise
-    and early/late pointwise convs sit on the bandwidth roof; only 7 of the
-    14x14x512 pointwise convs are (borderline) MXU-bound — so throughput is
-    capped by activation traffic, and max achievable MFU ≈ 22%."""
+    (394 int8 TOPS vs 819 GB/s): pointwise convs sit on the bandwidth roof,
+    while the depthwise convs are VPU-bound — XLA keeps them off the MXU at
+    a measured ~3 T ops/s (examples/conv_bound_probes.py probe 1), a floor
+    the r4 HBM-only model under-counted (r4 VERDICT weak #5)."""
     from csinn2_tpu.models.mobilenet import MobileNetV1
     m = MobileNetV1(input_size=224)
     x = np.random.default_rng(0).random(m.input_shape(1)).astype(np.float32)
@@ -63,12 +63,19 @@ def test_mobilenet_v1_int8_is_bandwidth_bound():
     r = analyze(s)
     convs = [c for c in r.costs if c.op == "conv2d"]
     assert len(convs) >= 27
-    n_hbm = sum(1 for c in convs if c.bound(r.peak_tops, r.hbm_gbps) == "hbm")
-    assert n_hbm >= 0.6 * len(convs), (n_hbm, len(convs))
-    # fused SOL ≈ 1.6 ms (the measured graph runs at ~2.2 ms → ~75%)
-    assert 1.0e-3 < r.fused_sol_s < 2.2e-3
+    bounds = [c.bound(r.peak_tops, r.hbm_gbps) for c in convs]
+    dw = [c for c in convs if c.vpu_ops]
+    assert len(dw) >= 13                      # the 13 depthwise layers
+    n_vpu = sum(1 for c in dw if c.bound(r.peak_tops, r.hbm_gbps) == "vpu")
+    # stride-2 dw layers stay borderline-HBM (in-bytes 4x out); the stride-1
+    # majority are VPU-bound
+    assert n_vpu >= 0.6 * len(dw), (n_vpu, len(dw))
+    n_hbm = sum(1 for b in bounds if b == "hbm")
+    assert n_hbm >= 0.6 * (len(convs) - len(dw)), (n_hbm, len(convs))
+    # fused SOL grows vs the HBM-only model (dw VPU floor > dw HBM floor)
+    assert 1.2e-3 < r.fused_sol_s < 2.6e-3
     mfu_cap = r.total_flops / r.fused_sol_s / (r.peak_tops * 1e12)
     assert mfu_cap < 0.25
 
     t = r.table(top=5)
-    assert "hbm" in t and "conv2d" in t
+    assert "conv2d" in t
