@@ -123,12 +123,27 @@ def section(name, est_s):
 
 
 def guarded(fn, name):
+    # drop cached executables/constants from prior sections: jit caches pin
+    # device buffers (the r5 capture OOM'd at the bs16 section with the
+    # real-weights section's executables still resident, and every later
+    # section then failed RESOURCE_EXHAUSTED); the persistent on-disk
+    # compile cache makes the re-lowering cheap
+    import jax
+    gc.collect()
+    try:
+        jax.clear_caches()
+    except Exception:
+        pass
     try:
         fn()
     except Exception:
         _note(f"section {name} FAILED:")
         traceback.print_exc(file=sys.stderr)
     gc.collect()
+    try:
+        jax.clear_caches()
+    except Exception:
+        pass
 
 
 # -- CNN sections -------------------------------------------------------------
@@ -469,6 +484,8 @@ def bench_llama(cfg, tag, mode, ttft=False, bs8=False, max_seq=None):
         # (net-new vs reference per BASELINE config 5)
         del eng
         gc.collect()
+        jax.clear_caches()           # free the bs1 engine's pinned buffers
+        gc.collect()
         # the decode benchmark reads a _round256(16+8+128+1)=256-position
         # KV window per lane (benchmark_decode_device kv_bound)
         kv_window = 256
@@ -476,7 +493,13 @@ def bench_llama(cfg, tag, mode, ttft=False, bs8=False, max_seq=None):
             else cfg.n_kv_heads * (cfg.dim // cfg.n_heads)
         kv_bytes_lane = 2 * cfg.n_layers * kv_dim * kv_window  # int8 KV
         for bsz in (8, 16):
-            cfgb = dataclasses.replace(cfg, max_seq_len=1024)
+            # the donated-scan decode transiently holds TWO cache copies; at
+            # bs16/S=1024 that is 2x4.3 GB next to the 7.2 GB params -> OOM
+            # (measured RESOURCE_EXHAUSTED).  The benchmark reads only a
+            # 256-position window (kv_bound), so a 512-deep cache changes
+            # nothing it measures.
+            cfgb = dataclasses.replace(cfg,
+                                       max_seq_len=1024 if bsz == 8 else 512)
             engb = InferenceEngine(cfgb, params, batch=bsz, quantized_kv=True)
             t0 = time.time()
             tpsb = engb.benchmark_decode_device(iters=128)
@@ -491,6 +514,12 @@ def bench_llama(cfg, tag, mode, ttft=False, bs8=False, max_seq=None):
             emit(f"{tag}_{mode}_bs{bsz}_decode_vs_sol", tpsb / solb,
                  "fraction_of_sol", tpsb / solb)
             del engb
+            gc.collect()
+            # the bs8 engine's cached executables pin its 2.15 GB KV cache;
+            # without this the bs16 cache (4.3 GB) cannot allocate next to
+            # the 7.2 GB params (measured RESOURCE_EXHAUSTED in the r5
+            # capture)
+            jax.clear_caches()
             gc.collect()
     else:
         del eng

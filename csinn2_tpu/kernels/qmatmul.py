@@ -630,7 +630,8 @@ def quant_matmul_ref(x, w_q, scales=None, bias=None, *, scale_mode="channel",
             scales = jnp.asarray(scales).T
         return quant_matmul_ref(x, w_q, scales, bias, scale_mode=scale_mode,
                                 out_dtype=out_dtype,
-                                epilogue_scale=epilogue_scale, out_zp=out_zp)
+                                epilogue_scale=epilogue_scale, out_zp=out_zp,
+                                swiglu=swiglu)
     if packed_int4:
         w_q = unpack_int4(w_q, x.shape[-1])
     w = jnp.asarray(w_q, jnp.float32)
