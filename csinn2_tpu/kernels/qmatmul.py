@@ -336,7 +336,11 @@ def quant_matmul(x, w_q, scales=None, bias=None, *, scale_mode: str = "channel",
         #   small weights (<=~8.5 MiB packed): full-N, bk ~512
         #   else deep-K (bk 1024) with bn ~2-3k; if N's divisors are sparse
         #   (22016-style), wide-N shallow-K (bk 256) wins instead.
-        bm = bm or 8
+        # ONE M-tile for decode batches: with bm=8 a bs16 decode ran the
+        # (i, j, k) grid at i=2 and the weight stream was fetched TWICE —
+        # the whole decode step is weight-read-bound, so bs16 measured 35%
+        # of its batched SOL (BENCH r5 first capture) purely from re-reads
+        bm = bm or _round_up(M, 8)
         Nr, Kr = _round_up(N, 128), _round_up(K, 128)
         if Kr * Nr <= 17 * 2**20:
             bn = bn or Nr
@@ -357,7 +361,7 @@ def quant_matmul(x, w_q, scales=None, bias=None, *, scale_mode: str = "channel",
             # hits 890 GiB/s effective — full HBM speed-of-light — vs
             # 483 GiB/s for the narrow bn=256/bk=2048 tiling); cap the tile
             # at ~6 MiB so the double-buffered pipeline fits VMEM
-            bm = bm or 8
+            bm = bm or _round_up(M, 8)   # one M-tile (see int4 branch note)
             # bk must DIVIDE the rounded K or the whole weight gets jnp.pad'ed
             # inside the jit (w2's K=11008 with bk=1024 -> Kp=11264 was a
             # 45 MB HBM copy per decode call); see _pick_tile.  bk target 512
