@@ -636,7 +636,8 @@ def attention_block(x, layer_params, cache: KVCache, layer_idx: int, pos,
         k_all = k_all[:, :kv_bound]
         v_all = v_all[:, :kv_bound]
 
-    from csinn2_tpu.kernels.flash_attention import flash_attention
+    from csinn2_tpu.kernels.flash_attention import (flash_attention,
+                                                    prefill_attention)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
@@ -646,10 +647,19 @@ def attention_block(x, layer_params, cache: KVCache, layer_idx: int, pos,
         # ~1.3 us each at 7B prefill — examples/ttft_profile.py)
         k_t = jnp.transpose(k_all, (0, 2, 1, 3))            # [b, hk, S, dh]
         v_t = jnp.transpose(v_all, (0, 2, 1, 3))
-        out_sh = flash_attention(q.astype(jnp.bfloat16),
-                                 k_t, v_t, causal=True, q_offset=pos,
-                                 kv_len=pos + s, kv_scale=cache.scale,
-                                 qo_layout="bshd")          # [b, s, hq, dh]
+        S_kv = k_t.shape[2]
+        kv_vmem = hk * S_kv * max(dh, 128) * 2 * k_t.dtype.itemsize
+        if s > 1 and kv_vmem <= 8 * 2**20:
+            # short-context prefill: whole-KV head-batched kernel — ONE grid
+            # step/layer instead of 32 latency-bound per-head steps
+            out_sh = prefill_attention(q.astype(jnp.bfloat16), k_t, v_t,
+                                       causal=True, q_offset=pos,
+                                       kv_len=pos + s, kv_scale=cache.scale)
+        else:
+            out_sh = flash_attention(q.astype(jnp.bfloat16),
+                                     k_t, v_t, causal=True, q_offset=pos,
+                                     kv_len=pos + s, kv_scale=cache.scale,
+                                     qo_layout="bshd")      # [b, s, hq, dh]
         out = out_sh.reshape(b, s, hq * dh)
         out = linear(out.astype(jnp.bfloat16), layer_params["wo"],
                      use_pallas=use_pallas, out_dtype=jnp.bfloat16)
